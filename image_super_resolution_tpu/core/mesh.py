@@ -1,0 +1,80 @@
+"""Device mesh and sharding foundation.
+
+The reference trains on exactly one device (reference: train.py:179-190) and
+has no distributed communication at all (SURVEY.md §2.11). Here parallelism is
+first-class: a ``jax.sharding.Mesh`` with a ``data`` axis for DP training
+(gradient ``psum`` rides ICI) and a ``tile`` axis for spatially-sharded
+inference with halo exchange (see parallel/spatial.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+TILE_AXIS = "tile"
+
+
+def distributed_init() -> None:
+    """Initialize multi-host JAX if running under a multi-process launcher.
+
+    Safe no-op on a single host. The reference has no multi-host story at
+    all; here DCN-connected multi-host slices work through
+    ``jax.distributed.initialize`` + the same mesh abstractions.
+    """
+    try:
+        if jax.process_count() > 1:
+            return  # already initialized by the launcher
+        jax.distributed.initialize()
+    except Exception:
+        # Single-process run (the common case in tests / single chip).
+        pass
+
+
+def make_mesh(
+    n_data: Optional[int] = None,
+    n_tile: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a (data, tile) mesh.
+
+    ``data`` is the DP axis (batch sharding + gradient psum), ``tile`` the
+    spatial-parallel axis used by halo-exchange tiled inference. Defaults to
+    all available devices on the data axis.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n_total = len(devices)
+    if n_data is None:
+        if n_total % n_tile != 0:
+            raise ValueError(f"{n_total} devices not divisible by n_tile={n_tile}")
+        n_data = n_total // n_tile
+    use = n_data * n_tile
+    if use > n_total:
+        raise ValueError(f"requested {use} devices, only {n_total} available")
+    dev_array = np.asarray(devices[:use]).reshape(n_data, n_tile)
+    return Mesh(dev_array, (DATA_AXIS, TILE_AXIS))
+
+
+def local_mesh() -> Mesh:
+    """All-device 1-D data mesh — the default for single-slice training."""
+    return make_mesh(n_tile=1)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis, replicate the rest."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    """Fully replicated (params, small state)."""
+    return NamedSharding(mesh, P())
+
+
+def spatial_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard image rows (axis 1 of NHWC) over the tile axis for spatial SR."""
+    return NamedSharding(mesh, P(None, TILE_AXIS))

@@ -1,0 +1,15 @@
+from .denoiser import Denoiser
+from .discriminator import Discriminator, adaptive_avg_pool
+from .generator import SRGenerator
+from .vgg import TruncatedVGG19, convert_torch_vgg19, init_vgg_params, load_vgg19_npz
+
+__all__ = [
+    "Denoiser",
+    "Discriminator",
+    "adaptive_avg_pool",
+    "SRGenerator",
+    "TruncatedVGG19",
+    "convert_torch_vgg19",
+    "init_vgg_params",
+    "load_vgg19_npz",
+]

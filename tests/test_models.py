@@ -1,0 +1,108 @@
+"""Golden param-count and shape tests for the model zoo.
+
+The golden numbers are measured from the reference implementation
+(SURVEY.md §2.4): instantiating utils/models.py classes and counting
+``parameters()``. Any drift means the rebuild's architecture diverged.
+"""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from image_super_resolution_tpu.models import (
+    Denoiser,
+    Discriminator,
+    SRGenerator,
+    TruncatedVGG19,
+)
+
+
+def n_params(tree):
+    return sum(x.size for x in jax.tree_util.tree_leaves(tree))
+
+
+def init_model(model, shape):
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros(shape, jnp.float32))
+    return variables
+
+
+@pytest.mark.parametrize(
+    "kwargs,golden",
+    [
+        (dict(depth=16, add_rate=0.2, scale=2), 11_735_875),
+        (dict(depth=16, add_rate=0.2, scale=4), 11_883_587),
+        (dict(depth=16, add_rate=0.2, scale=2, enchant=True), 11_726_595),
+    ],
+)
+def test_generator_param_counts(kwargs, golden):
+    variables = init_model(SRGenerator(**kwargs), (1, 24, 24, 3))
+    assert n_params(variables["params"]) == golden
+
+
+def test_discriminator_param_count():
+    variables = init_model(Discriminator(), (1, 96, 96, 3))
+    assert n_params(variables["params"]) == 23_563_649
+
+
+def test_denoiser_param_count():
+    variables = init_model(Denoiser(depth=16), (1, 64, 64, 3))
+    assert n_params(variables["params"]) == 3_760_963
+
+
+@pytest.mark.parametrize("scale", [2, 4])
+def test_generator_output_shape_and_range(scale):
+    model = SRGenerator(depth=2, scale=scale)
+    variables = init_model(model, (2, 24, 24, 3))
+    out = model.apply(variables, jnp.zeros((2, 24, 24, 3)))
+    assert out.shape == (2, 24 * scale, 24 * scale, 3)
+    assert out.dtype == jnp.float32
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 24, 24, 3))
+    out = model.apply(variables, x)
+    assert jnp.all(out >= -1.0) and jnp.all(out <= 1.0)  # tanh tail
+
+
+def test_denoiser_same_size():
+    model = Denoiser(depth=4)
+    variables = init_model(model, (1, 64, 64, 3))
+    out = model.apply(variables, jnp.zeros((1, 64, 64, 3)))
+    assert out.shape == (1, 64, 64, 3)
+
+
+def test_discriminator_logit_shape_any_input_size():
+    model = Discriminator()
+    variables = init_model(model, (1, 96, 96, 3))
+    for hw in (96, 128):
+        out = model.apply(variables, jnp.zeros((3, hw, hw, 3)))
+        assert out.shape == (3, 1)
+
+
+def test_generator_train_mode_updates_batch_stats():
+    model = SRGenerator(depth=1, scale=2)
+    variables = init_model(model, (1, 16, 16, 3))
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 3))
+    out, mutated = model.apply(variables, x, train=True, mutable=["batch_stats"])
+    assert out.shape == (2, 32, 32, 3)
+    old = jax.tree_util.tree_leaves(variables["batch_stats"])
+    new = jax.tree_util.tree_leaves(mutated["batch_stats"])
+    assert any(
+        not jnp.allclose(a, b) for a, b in zip(old, new)
+    ), "train=True must update running stats"
+
+
+def test_enchant_has_no_batch_stats():
+    model = SRGenerator(depth=1, scale=2, enchant=True)
+    variables = init_model(model, (1, 16, 16, 3))
+    assert "batch_stats" not in variables
+
+
+def test_vgg_truncation_shapes():
+    # (i=5, j=4): 4 pools before the kept conv -> /16 spatial, 512 channels.
+    model = TruncatedVGG19(i=5, j=4)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 96, 96, 3)))
+    out = model.apply(variables, jnp.zeros((2, 96, 96, 3)))
+    assert out.shape == (2, 6, 6, 512)
+    # pre-act variant shares shapes but not values
+    model_pre = TruncatedVGG19(i=5, j=4, before_act=True)
+    out_pre = model_pre.apply(variables, jnp.ones((1, 96, 96, 3)))
+    assert out_pre.shape == (1, 6, 6, 512)
+    assert jnp.any(out_pre < 0)  # pre-activation features can be negative
