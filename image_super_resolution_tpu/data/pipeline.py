@@ -1,0 +1,259 @@
+"""Training input pipeline: host-side decode/crop, device-side degradation.
+
+The reference pipeline (utils/datasets.py:274-428) runs decode + crop +
+resize + normalize per-sample on forked DataLoader workers and ships float32
+tensors. TPU-first split instead:
+
+- HOST (this module's ``PatchLoader``): decode + random-crop only, on a
+  thread pool (cv2 releases the GIL), shipping uint8 NHWC batches — 4x less
+  PCIe/host traffic than float32.
+- DEVICE (``make_batch_fn``): resize / degrade / normalize fused into the
+  jitted step (see degrade.py), double-buffered ahead of compute by
+  ``DevicePrefetcher``.
+
+Pairing rule preserved: LR and HR come from the SAME crop (datasets.py:344-355),
+patch size rounded up to a multiple of scale via ground_up (datasets.py:283).
+Images smaller than the patch are reflect-padded instead of crashing
+(deviation: the reference relied on its manifest builder deleting small
+images).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Callable, Iterator, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.general import ground_up
+from . import degrade
+from .transforms import IMAGENET_MEAN, IMAGENET_STD, normalize, to_tanh
+from .manifest import load_manifest
+
+
+def _read_rgb(path: str) -> Optional[np.ndarray]:
+    """Decode to RGB HWC uint8; None on failure."""
+    try:
+        import cv2
+
+        img = cv2.imread(path, cv2.IMREAD_COLOR)
+        if img is None:
+            raise IOError(path)
+        return img[..., ::-1]  # BGR -> RGB
+    except Exception:
+        try:
+            from PIL import Image
+
+            with Image.open(path) as im:
+                return np.asarray(im.convert("RGB"))
+        except Exception:
+            return None
+
+
+def _random_crop(img: np.ndarray, size: int, rng: np.random.Generator) -> np.ndarray:
+    h, w = img.shape[:2]
+    if h < size or w < size:
+        img = np.pad(
+            img,
+            ((0, max(0, size - h)), (0, max(0, size - w)), (0, 0)),
+            mode="reflect",
+        )
+        h, w = img.shape[:2]
+    top = int(rng.integers(0, h - size + 1))
+    left = int(rng.integers(0, w - size + 1))
+    return img[top : top + size, left : left + size]
+
+
+@dataclass
+class LoaderConfig:
+    batch_size: int = 16
+    patch_size: int = 96
+    scale: int = 2
+    workers: int = 4
+    seed: int = 100
+    drop_last: bool = True
+    prefetch: int = 4
+
+
+class PatchLoader:
+    """Epoch-based uint8 patch loader over a manifest.
+
+    Iterating yields (B, patch, patch, 3) uint8 arrays; ``steps_per_epoch``
+    matches the reference's ``len(dataloader)`` used for schedule/EMA tau
+    (train.py:231, 262).
+    """
+
+    # Dataset statistics default to ImageNet like the reference's class-level
+    # mean/std (utils/datasets.py:275-276); calculate_stats() overrides them.
+    mean: Tuple[float, float, float] = IMAGENET_MEAN
+    std: Tuple[float, float, float] = IMAGENET_STD
+
+    def __init__(self, manifest: str | Path | Sequence[str], config: LoaderConfig):
+        if isinstance(manifest, (str, Path)):
+            self.samples = load_manifest(manifest)
+        else:
+            self.samples = list(manifest)
+        if not self.samples:
+            raise ValueError("empty manifest")
+        self.config = config
+        self.patch = ground_up(config.patch_size, max(config.scale, 1))
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        return self.steps_per_epoch
+
+    @property
+    def steps_per_epoch(self) -> int:
+        n = len(self.samples) // self.config.batch_size
+        if not self.config.drop_last and len(self.samples) % self.config.batch_size:
+            n += 1
+        return max(n, 1)
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = epoch
+
+    def calculate_stats(self, max_images: int = 512) -> Tuple[list, list]:
+        """Dataset mean/std via running sums (the reference's intent at
+        datasets.py:308-337, whose implementation was broken — SURVEY.md §2.2)."""
+        s = np.zeros(3)
+        ss = np.zeros(3)
+        count = 0
+        for path in self.samples[:max_images]:
+            img = _read_rgb(path)
+            if img is None:
+                continue
+            x = img.reshape(-1, 3).astype(np.float64) / 255.0
+            s += x.sum(0)
+            ss += (x**2).sum(0)
+            count += x.shape[0]
+        if count:
+            mean = s / count
+            std = np.sqrt(np.maximum(ss / count - mean**2, 1e-12))
+            self.mean = tuple(float(v) for v in mean)
+            self.std = tuple(float(v) for v in std)
+        return list(self.mean), list(self.std)
+
+    def _load_patch(self, path: str, rng: np.random.Generator) -> np.ndarray:
+        img = _read_rgb(path)
+        if img is None:  # unreadable at train time: substitute noise patch
+            return np.zeros((self.patch, self.patch, 3), np.uint8)
+        return _random_crop(img, self.patch, rng)
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        cfg = self.config
+        rng = np.random.default_rng(np.random.SeedSequence([cfg.seed, self._epoch]))
+        order = rng.permutation(len(self.samples))
+        n_batches = self.steps_per_epoch
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=max(cfg.workers, 1)) as pool:
+            def make_batch(b: int) -> np.ndarray:
+                idx = order[b * cfg.batch_size : (b + 1) * cfg.batch_size]
+                if len(idx) < cfg.batch_size:  # pad final partial batch
+                    idx = np.concatenate([idx, order[: cfg.batch_size - len(idx)]])
+                seeds = [np.random.default_rng(
+                    np.random.SeedSequence([cfg.seed, self._epoch, b, int(i)])
+                ) for i in idx]
+                patches = list(
+                    pool.map(self._load_patch, [self.samples[i] for i in idx], seeds)
+                )
+                return np.stack(patches)
+
+            futures = [pool.submit(make_batch, b) for b in range(min(cfg.prefetch, n_batches))]
+            next_b = len(futures)
+            for _ in range(n_batches):
+                yield futures.pop(0).result()
+                if next_b < n_batches:
+                    futures.append(pool.submit(make_batch, next_b))
+                    next_b += 1
+
+
+@dataclass
+class DegradeConfig:
+    method: str = "bilinear"  # albumentations.Resize default (cv2.INTER_LINEAR)
+    antialias: bool = False
+
+
+def make_sr_batch_fn(
+    scale: int,
+    hr_mode: str = "tanh",  # "tanh" (pretrain phase) | "norm" (GAN phase)
+    mean: Sequence[float] = IMAGENET_MEAN,
+    std: Sequence[float] = IMAGENET_STD,
+    degrade_cfg: DegradeConfig = DegradeConfig(),
+) -> Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]]:
+    """Device-side (hr, lr) preparation from a uint8 crop batch.
+
+    hr_mode="tanh": HR in [-1,1] (pretrain, datasets.py:306);
+    hr_mode="norm": HR mean/std-normalized (GAN phase after
+    set_transform_hr(), datasets.py:339-342). LR is always
+    normalize(downscale(x)) (datasets.py:291-305).
+    """
+
+    def fn(u8: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        x01 = u8.astype(jnp.float32) / 255.0
+        lr = normalize(
+            degrade.downscale(x01, scale, degrade_cfg.method, degrade_cfg.antialias),
+            mean, std,
+        )
+        hr = to_tanh(x01) if hr_mode == "tanh" else normalize(x01, mean, std)
+        return hr, lr
+
+    return fn
+
+
+def make_denoise_batch_fn(
+    mean: Sequence[float] = IMAGENET_MEAN,
+    std: Sequence[float] = IMAGENET_STD,
+) -> Callable[[jax.Array, jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]]:
+    """Device-side denoiser pairs: LR = normalize(jpeg(iso(gauss(x)))),
+    HR = tanh(x) (utils/datasets.py:374-389)."""
+
+    def fn(rng: jax.Array, u8: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        x01 = u8.astype(jnp.float32) / 255.0
+        lr = normalize(degrade.denoise_degradation(rng, x01), mean, std)
+        hr = to_tanh(x01)
+        return hr, lr
+
+    return fn
+
+
+class DevicePrefetcher:
+    """Overlap host batch production with device compute.
+
+    Double-buffers ``depth`` uint8 batches onto the device (optionally with a
+    batch sharding) while the previous step runs — the TPU equivalent of
+    pin_memory+non_blocking transfers (reference train.py:51).
+    """
+
+    def __init__(self, it: Iterator[np.ndarray], depth: int = 2, sharding=None):
+        self._it = iter(it)
+        self._sharding = sharding
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._done = object()
+        self._thread = threading.Thread(target=self._fill, daemon=True)
+        self._thread.start()
+
+    def _fill(self):
+        try:
+            for batch in self._it:
+                arr = jnp.asarray(batch)
+                if self._sharding is not None:
+                    arr = jax.device_put(arr, self._sharding)
+                self._q.put(arr)
+        finally:
+            self._q.put(self._done)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._done:
+            raise StopIteration
+        return item

@@ -1,0 +1,168 @@
+"""Checkpoint save / tolerant resume / GAN warm start.
+
+Lifecycle parity with the reference (SURVEY.md §5 checkpoint row):
+- one file per phase, overwritten every epoch, named
+  ``{res|gen|denoise}_{save_name}_{rs_deep}_{add_rate}.ckpt``
+  (train.py:171-176);
+- payload = params + EMA (+updates) + optimizer state + epoch + dataset
+  mean/std + loss history (train.py:294-302, 376-387); the optimizer state is
+  dropped on the final epoch like the reference (train.py:295);
+- resume restores shape-matched leaves (intersect semantics,
+  utils/general.py:129-131) and the optimizer/epoch only when EVERY leaf
+  matched (train.py:281-285);
+- the GAN phase warm-starts its generator from the pretrain phase's EMA
+  weights (utils/models.py:659-665, train.py:306).
+
+Format: a single msgpack file (flax.serialization) with fp16 param storage
+matching the reference's ``.half()`` checkpoint compression (train.py:294),
+plus a JSON-encoded meta blob. Atomic tmp+rename writes so a crash mid-save
+never corrupts the only checkpoint.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+
+from ..utils.general import intersect_trees
+from .state import TrainState, init_ema
+
+
+def checkpoint_name(phase: str, save_name: str, depth: int, add_rate: float) -> str:
+    prefix = {"pixel": "res", "gan": "gen", "denoise": "denoise"}[phase]
+    return f"{prefix}_{save_name}_{depth}_{add_rate}.ckpt"
+
+
+def _to_fp16(tree: Any) -> Any:
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(np.float16)
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+        else x,
+        tree,
+    )
+
+
+def _to_fp32(tree: Any) -> Any:
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(np.float32)
+        if hasattr(x, "dtype") and x.dtype == np.float16
+        else x,
+        tree,
+    )
+
+
+def save_checkpoint(
+    path: str | Path,
+    state: TrainState,
+    epoch: int,
+    mean,
+    std,
+    loss_history=None,
+    final: bool = False,
+    extra: Optional[Dict[str, Any]] = None,
+) -> None:
+    payload: Dict[str, Any] = {
+        "params": _to_fp16(jax.device_get(state.params)),
+        "batch_stats": _to_fp16(jax.device_get(state.batch_stats)),
+        "meta": json.dumps(
+            {
+                "epoch": int(epoch),
+                "mean": [float(v) for v in mean],
+                "std": [float(v) for v in std],
+                "loss": [float(v) for v in (loss_history or [])],
+                "step": int(jax.device_get(state.step)),
+            }
+        ),
+    }
+    if state.ema is not None:
+        payload["ema_params"] = _to_fp16(jax.device_get(state.ema.params))
+        payload["ema_batch_stats"] = _to_fp16(jax.device_get(state.ema.batch_stats))
+        payload["ema_updates"] = int(jax.device_get(state.ema.updates))
+    if not final:  # reference drops optimizer state on the last epoch
+        payload["opt_state"] = jax.device_get(
+            serialization.to_state_dict(state.opt_state)
+        )
+    for k, v in (extra or {}).items():
+        payload[k] = v
+
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    blob = serialization.msgpack_serialize(payload)
+    tmp = path.with_suffix(path.suffix + ".tmp")
+    tmp.write_bytes(blob)
+    os.replace(tmp, path)
+
+
+def load_checkpoint(path: str | Path) -> Dict[str, Any]:
+    raw = serialization.msgpack_restore(Path(path).read_bytes())
+    raw["meta"] = json.loads(raw["meta"])
+    for key in ("params", "batch_stats", "ema_params", "ema_batch_stats"):
+        if key in raw:
+            raw[key] = _to_fp32(raw[key])
+    return raw
+
+
+def resume_state(
+    state: TrainState, ckpt: Dict[str, Any], verbose: bool = True
+) -> Tuple[TrainState, int]:
+    """Tolerant resume. Returns (state, start_epoch)."""
+    params, matched, total = intersect_trees(ckpt["params"], state.params)
+    stats, _, _ = intersect_trees(ckpt.get("batch_stats", {}), state.batch_stats)
+    as_dev = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
+    state = state.replace(params=as_dev(params), batch_stats=as_dev(stats))
+
+    if state.ema is not None and "ema_params" in ckpt:
+        e_params, _, _ = intersect_trees(ckpt["ema_params"], state.ema.params)
+        e_stats, _, _ = intersect_trees(
+            ckpt.get("ema_batch_stats", {}), state.ema.batch_stats
+        )
+        state = state.replace(
+            ema=state.ema.replace(
+                params=as_dev(e_params),
+                batch_stats=as_dev(e_stats),
+                updates=jnp.asarray(ckpt.get("ema_updates", 0), jnp.int32),
+            )
+        )
+
+    start_epoch = 0
+    if matched == total and "opt_state" in ckpt:
+        opt_state = serialization.from_state_dict(state.opt_state, ckpt["opt_state"])
+        state = state.replace(
+            opt_state=opt_state,
+            step=jnp.asarray(ckpt["meta"].get("step", 0), jnp.int32),
+        )
+        start_epoch = int(ckpt["meta"]["epoch"]) + 1
+    if verbose:
+        print(f"Loaded pre-trained {matched}/{total} model")
+    return state, start_epoch
+
+
+def warm_start_generator(
+    g_state: TrainState, pretrain_ckpt_path: str | Path, verbose: bool = True
+) -> TrainState:
+    """Initialize the GAN generator from the pretrain phase's EMA weights."""
+    try:
+        ckpt = load_checkpoint(pretrain_ckpt_path)
+    except Exception:
+        if verbose:
+            print("Could not load pretrain checkpoint.")
+        return g_state
+    source = ckpt.get("ema_params", ckpt.get("params"))
+    params, matched, total = intersect_trees(source, g_state.params)
+    stats_src = ckpt.get("ema_batch_stats", ckpt.get("batch_stats", {}))
+    stats, _, _ = intersect_trees(stats_src, g_state.batch_stats)
+    as_dev = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
+    params, stats = as_dev(params), as_dev(stats)
+    state = g_state.replace(params=params, batch_stats=stats)
+    if state.ema is not None:
+        state = state.replace(ema=init_ema(params, stats))
+    if verbose:
+        print(f"loaded pre-trained generator ({matched}/{total} leaves)")
+    return state

@@ -1,0 +1,122 @@
+"""Data layer tests: manifest builder, host loader, device degradations."""
+
+import json
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from image_super_resolution_tpu.data import degrade
+from image_super_resolution_tpu.data.manifest import create_data_lists, load_manifest
+from image_super_resolution_tpu.data.pipeline import (
+    DegradeConfig,
+    LoaderConfig,
+    PatchLoader,
+    make_denoise_batch_fn,
+    make_sr_batch_fn,
+)
+
+
+@pytest.fixture(scope="module")
+def image_dir(tmp_path_factory):
+    from PIL import Image
+
+    d = tmp_path_factory.mktemp("imgs")
+    rng = np.random.default_rng(0)
+    for i in range(6):
+        arr = rng.integers(0, 255, (48 + i * 8, 64, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(d / f"img_{i}.png")
+    # one too-small image and one corrupt file, both must be skipped (not deleted)
+    Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(d / "tiny.png")
+    (d / "corrupt.jpg").write_bytes(b"not an image")
+    return d
+
+
+def test_create_data_lists_skips_without_deleting(image_dir, tmp_path):
+    train_json, val_json = create_data_lists([image_dir], [image_dir], 32, tmp_path)
+    samples = load_manifest(train_json)
+    assert len(samples) == 6
+    assert (image_dir / "tiny.png").exists(), "must never delete user files"
+    assert (image_dir / "corrupt.jpg").exists()
+    assert json.loads(val_json.read_text()) == samples
+
+
+def test_patch_loader_shapes_and_determinism(image_dir, tmp_path):
+    train_json, _ = create_data_lists([image_dir], [image_dir], 32, tmp_path)
+    cfg = LoaderConfig(batch_size=4, patch_size=33, scale=2, workers=2, seed=7)
+    loader = PatchLoader(train_json, cfg)
+    assert loader.patch == 34  # ground_up(33, 2)
+    batches = list(loader)
+    assert len(batches) == len(loader) == 6 // 4
+    assert batches[0].shape == (4, 34, 34, 3) and batches[0].dtype == np.uint8
+    loader2 = PatchLoader(train_json, cfg)
+    np.testing.assert_array_equal(batches[0], next(iter(loader2)))
+    loader2.set_epoch(1)
+    assert not np.array_equal(batches[0], next(iter(loader2)))
+
+
+def test_sr_batch_fn_contracts():
+    u8 = jnp.asarray(np.random.default_rng(0).integers(0, 255, (2, 32, 32, 3), dtype=np.uint8))
+    hr, lr = jax.jit(make_sr_batch_fn(scale=2, hr_mode="tanh"))(u8)
+    assert hr.shape == (2, 32, 32, 3) and lr.shape == (2, 16, 16, 3)
+    assert float(hr.min()) >= -1.0 and float(hr.max()) <= 1.0
+    hr_n, _ = jax.jit(make_sr_batch_fn(scale=2, hr_mode="norm"))(u8)
+    assert float(hr_n.min()) < -1.5  # ImageNet-normalized range exceeds [-1,1]
+
+
+def test_denoise_batch_fn_degrades_but_preserves_signal():
+    rng = np.random.default_rng(1)
+    img = rng.integers(60, 200, (2, 32, 32, 3), dtype=np.uint8)
+    u8 = jnp.asarray(img)
+    fn = jax.jit(make_denoise_batch_fn())
+    hr, lr = fn(jax.random.PRNGKey(0), u8)
+    assert hr.shape == lr.shape == (2, 32, 32, 3)
+    # LR must differ from clean (noise applied) but stay correlated.
+    from image_super_resolution_tpu.data.transforms import denormalize, tanh_to_01
+
+    lr01 = denormalize(lr) / 255.0
+    hr01 = tanh_to_01(hr)
+    diff = float(jnp.abs(lr01 - hr01).mean())
+    assert 0.003 < diff < 0.25, f"degradation out of range: {diff}"
+
+
+def test_jpeg_compress_quality_ordering():
+    """Lower quality must lose more signal."""
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.uniform(0, 1, (1, 32, 32, 3)).astype(np.float32))
+    lo = degrade.jpeg_compress(jax.random.PRNGKey(0), x, (5.0, 5.0))
+    hi = degrade.jpeg_compress(jax.random.PRNGKey(0), x, (95.0, 95.0))
+    err_lo = float(jnp.abs(lo - x).mean())
+    err_hi = float(jnp.abs(hi - x).mean())
+    assert err_lo > err_hi * 1.5
+    assert err_hi < 0.05
+
+
+def test_jpeg_compress_matches_real_jpeg_ballpark():
+    """Sanity vs a real encoder (PIL): similar error magnitude at q=50."""
+    from PIL import Image
+    import io
+
+    rng = np.random.default_rng(3)
+    # smooth-ish image: random low-res upsampled
+    small = rng.uniform(0, 1, (8, 8, 3))
+    img = np.kron(small, np.ones((4, 4, 1)))[None].astype(np.float32)
+    ours = degrade.jpeg_compress(jax.random.PRNGKey(0), jnp.asarray(img), (50.0, 50.0))
+    err_ours = float(jnp.abs(ours - img).mean())
+
+    pil_in = Image.fromarray((img[0] * 255).astype(np.uint8))
+    buf = io.BytesIO()
+    pil_in.save(buf, format="JPEG", quality=50)
+    pil_out = np.asarray(Image.open(buf)).astype(np.float32) / 255.0
+    err_pil = float(np.abs(pil_out - img[0]).mean())
+    assert 0.2 < err_ours / max(err_pil, 1e-6) < 5.0, (err_ours, err_pil)
+
+
+def test_downscale_shapes_and_methods():
+    x = jnp.ones((1, 32, 32, 3))
+    for method in ("bilinear", "bicubic"):
+        y = degrade.downscale(x, 4, method=method)
+        assert y.shape == (1, 8, 8, 3)
+        np.testing.assert_allclose(np.asarray(y), 1.0, atol=1e-5)

@@ -1,0 +1,197 @@
+"""Training layer tests: EMA parity, loss parity vs torch, train steps learn,
+checkpoint round trip, tolerant resume, GAN warm start, DP sharding."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from image_super_resolution_tpu.losses import (
+    bce_with_logits,
+    discriminator_loss,
+    generator_adversarial_loss,
+)
+from image_super_resolution_tpu.models import Denoiser, Discriminator, SRGenerator
+from image_super_resolution_tpu.train import (
+    build_optimizer,
+    create_train_state,
+    ema_decay,
+    load_checkpoint,
+    make_gan_train_step,
+    make_pixel_train_step,
+    resume_state,
+    save_checkpoint,
+    warm_start_generator,
+)
+
+
+def tiny_gen(scale=2, **kw):
+    return SRGenerator(depth=1, width=8, scale=scale, **kw)
+
+
+def make_state(model=None, shape=(1, 16, 16, 3), total_steps=100, ema_tau=100.0):
+    model = model or tiny_gen()
+    tx = build_optimizer(lr=1e-3, total_steps=total_steps)
+    return create_train_state(model, shape, tx, jax.random.PRNGKey(0), ema_tau=ema_tau)
+
+
+def test_ema_decay_matches_reference_formula():
+    # reference: decay(x) = 0.9999 * (1 - exp(-x / tau))  (utils/models.py:27)
+    import math
+
+    for updates, tau in [(1, 2000.0), (100, 2000.0), (5000, 300.0)]:
+        got = float(ema_decay(jnp.asarray(updates), tau))
+        want = 0.9999 * (1 - math.exp(-updates / tau))
+        assert abs(got - want) < 1e-6
+
+
+def test_bce_matches_torch():
+    import torch
+
+    rng = np.random.default_rng(0)
+    logits = rng.standard_normal((8, 1)).astype(np.float32)
+    targets = rng.integers(0, 2, (8, 1)).astype(np.float32)
+    want = torch.nn.functional.binary_cross_entropy_with_logits(
+        torch.from_numpy(logits), torch.from_numpy(targets)
+    ).item()
+    got = float(bce_with_logits(jnp.asarray(logits), jnp.asarray(targets)))
+    assert abs(got - want) < 1e-6
+    # composite refs
+    hr = rng.standard_normal((8, 1)).astype(np.float32)
+    want_d = (
+        torch.nn.functional.binary_cross_entropy_with_logits(
+            torch.from_numpy(logits), torch.zeros(8, 1)
+        )
+        + torch.nn.functional.binary_cross_entropy_with_logits(
+            torch.from_numpy(hr), torch.ones(8, 1)
+        )
+    ).item()
+    got_d = float(discriminator_loss(jnp.asarray(logits), jnp.asarray(hr)))
+    assert abs(got_d - want_d) < 1e-6
+    got_g = float(generator_adversarial_loss(jnp.asarray(logits)))
+    want_g = torch.nn.functional.binary_cross_entropy_with_logits(
+        torch.from_numpy(logits), torch.ones(8, 1)
+    ).item()
+    assert abs(got_g - want_g) < 1e-6
+
+
+def test_pixel_step_reduces_loss_and_updates_ema():
+    state = make_state(total_steps=60)
+    step = make_pixel_train_step(scale=2, hr_mode="tanh", pixel_loss="mse")
+    rng = np.random.default_rng(0)
+    batch = jnp.asarray(rng.integers(0, 255, (4, 32, 32, 3), dtype=np.uint8))
+    first = None
+    for i in range(30):
+        state, metrics = step(state, batch)
+        if first is None:
+            first = float(metrics["loss"])
+    last = float(metrics["loss"])
+    assert last < first * 0.9, (first, last)
+    assert int(state.ema.updates) == 30
+    # early EMA must track params loosely but not equal init
+    d = float(ema_decay(state.ema.updates, state.ema_tau))
+    assert 0.0 < d < 0.9999
+
+
+def test_checkpoint_roundtrip_and_tolerant_resume(tmp_path):
+    state = make_state()
+    step = make_pixel_train_step(scale=2)
+    batch = jnp.asarray(
+        np.random.default_rng(0).integers(0, 255, (2, 16, 16, 3), dtype=np.uint8)
+    )
+    for _ in range(3):
+        state, _ = step(state, batch)
+    path = tmp_path / "res_test_1_0.2.ckpt"
+    save_checkpoint(path, state, epoch=4, mean=[0.5] * 3, std=[0.25] * 3,
+                    loss_history=[1.0, 0.5])
+    ckpt = load_checkpoint(path)
+    assert ckpt["meta"]["epoch"] == 4 and ckpt["meta"]["mean"] == [0.5] * 3
+
+    fresh = make_state()
+    resumed, start_epoch = resume_state(fresh, ckpt)
+    assert start_epoch == 5  # full match -> optimizer + epoch restored
+    # fp16 storage: params match to half precision
+    a = jax.tree_util.tree_leaves(state.params)[0]
+    b = jax.tree_util.tree_leaves(resumed.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+
+    # architecture change -> partial load, no optimizer restore
+    bigger = make_state(SRGenerator(depth=2, width=8, scale=2))
+    partial, start_epoch = resume_state(bigger, ckpt, verbose=False)
+    assert start_epoch == 0
+
+
+def test_final_epoch_drops_optimizer(tmp_path):
+    state = make_state()
+    path = tmp_path / "ck.ckpt"
+    save_checkpoint(path, state, epoch=9, mean=[0] * 3, std=[1] * 3, final=True)
+    assert "opt_state" not in load_checkpoint(path)
+
+
+def test_gan_warm_start_from_pretrain(tmp_path):
+    state = make_state()
+    path = tmp_path / "res.ckpt"
+    save_checkpoint(path, state, epoch=0, mean=[0.5] * 3, std=[0.5] * 3)
+    g_state = make_state()
+    warmed = warm_start_generator(g_state, path, verbose=False)
+    a = jax.tree_util.tree_leaves(state.ema.params)[0]
+    b = jax.tree_util.tree_leaves(warmed.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+    missing = warm_start_generator(g_state, tmp_path / "nope.ckpt", verbose=False)
+    assert missing is g_state
+
+
+def test_gan_step_runs_and_produces_reference_metrics():
+    from image_super_resolution_tpu.losses.perceptual import PerceptualLoss
+    from image_super_resolution_tpu.models.vgg import TruncatedVGG19, init_vgg_params
+
+    g_state = make_state(tiny_gen(), ema_tau=50.0)
+    d_model = Discriminator(channels=8, n_blocks=4, fc_size=16, dtype=jnp.float32)
+    d_tx = build_optimizer(lr=1e-3, total_steps=50)
+    d_state = create_train_state(d_model, (1, 32, 32, 3), d_tx, jax.random.PRNGKey(1))
+
+    vgg = TruncatedVGG19(i=2, j=1, dtype=jnp.float32)
+    vgg_params = vgg.init(jax.random.PRNGKey(2), jnp.zeros((1, 32, 32, 3)))["params"]
+    perceptual = PerceptualLoss(vgg_params, vgg_i=2, vgg_j=1, dtype=jnp.float32)
+
+    step = make_gan_train_step(scale=2, perceptual=perceptual)
+    batch = jnp.asarray(
+        np.random.default_rng(0).integers(0, 255, (2, 32, 32, 3), dtype=np.uint8)
+    )
+    g2, d2, metrics = step(g_state, d_state, batch)
+    assert set(metrics) == {"loss/content", "loss/adv", "loss/dis"}
+    for v in metrics.values():
+        assert np.isfinite(float(v))
+    assert int(g2.step) == 1 and int(d2.step) == 1
+    assert int(g2.ema.updates) == 1
+    # generator params actually moved
+    a = jax.tree_util.tree_leaves(g_state.params)[0]
+    b = jax.tree_util.tree_leaves(g2.params)[0]
+    assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_pixel_step_data_parallel_8_devices():
+    """Same step under an 8-device data mesh: batch sharded, states replicated."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from image_super_resolution_tpu.core.mesh import batch_sharding, make_mesh
+
+    assert len(jax.devices()) == 8, "conftest must provide 8 cpu devices"
+    mesh = make_mesh()
+    state = make_state(total_steps=20)
+    state = jax.device_put(state, NamedSharding(mesh, P()))
+    step = make_pixel_train_step(scale=2)
+    batch = jnp.asarray(
+        np.random.default_rng(0).integers(0, 255, (16, 16, 16, 3), dtype=np.uint8)
+    )
+    batch = jax.device_put(batch, batch_sharding(mesh))
+    first = None
+    for _ in range(10):
+        state, metrics = step(state, batch)
+        if first is None:
+            first = float(metrics["loss"])
+    assert float(metrics["loss"]) < first
+    # params stay replicated across the mesh
+    leaf = jax.tree_util.tree_leaves(state.params)[0]
+    assert leaf.sharding.is_fully_replicated
