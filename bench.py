@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Headline benchmark: x4 RRDB-generator inference throughput per chip.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Measures the flagship deployment path — uint8 -> normalize -> 16-RRDB x4
+generator (11.9M params, BN-fused, bf16) -> uint8 — in output megapixels per
+second on one chip, against the BASELINE.json north-star of 200 MPix/s/chip
+(the reference publishes no numbers of its own; see BASELINE.md).
+
+Methodology: K forwards are chained inside ONE jitted lax.scan with a carried
+checksum, and a scalar is fetched at the end — this forces real execution and
+amortizes host<->device round-trip latency (in this environment the PJRT
+relay acks dispatches asynchronously, so naive block_until_ready timing
+measures nothing). Two chain lengths are timed and differenced to cancel the
+per-call latency exactly.
+
+Extra diagnostics go to stderr; stdout carries exactly the one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from functools import partial
+
+
+def _timed_chain(deployed, xs, k: int) -> float:
+    """Seconds for one call running k chained forwards + checksum fetch.
+
+    Scans over k DISTINCT inputs — a loop-invariant body would be hoisted out
+    of the scan by XLA and time k iterations as one.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def chain(params, xs):
+        def body(carry, x):
+            out = deployed.raw_apply(params, x)
+            # fold a data-dependent scalar into the carry so no iteration
+            # can be dead-code-eliminated
+            return carry + jnp.sum(out[..., 0].astype(jnp.int32)), ()
+
+        total, _ = jax.lax.scan(body, jnp.zeros((), jnp.int32), xs)
+        return total
+
+    xs_k = xs[:k]
+    chain(deployed.params, xs_k).block_until_ready()  # compile
+    int(chain(deployed.params, xs_k))  # warm pass
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        int(chain(deployed.params, xs_k))  # int() forces the fetch
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def bench(
+    depth: int = 16,
+    scale: int = 4,
+    batch: int = 8,
+    tile: int = 128,
+    k_short: int = 1,
+    k_long: int = 6,
+) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from image_super_resolution_tpu.models.deploy import DeployedModel, DeploySpec
+
+    spec = DeploySpec(family="sr", depth=depth, scale=scale)
+    model = spec.build_model()
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    deployed = DeployedModel(spec, variables["params"])
+
+    xs = jax.random.randint(
+        jax.random.PRNGKey(1), (k_long, batch, tile, tile, 3), 0, 256, jnp.uint8
+    )
+    print(
+        f"bench config: depth={depth} x{scale}, batch={batch}, tile={tile}, "
+        f"device={jax.devices()[0]}",
+        file=sys.stderr,
+    )
+    t_short = _timed_chain(deployed, xs, k_short)
+    t_long = _timed_chain(deployed, xs, k_long)
+    per_iter = (t_long - t_short) / (k_long - k_short)
+    out_mpix = batch * (tile * scale) ** 2 / 1e6
+    mpix_per_s = out_mpix / per_iter
+    print(
+        f"per-iter {per_iter * 1e3:.2f} ms ({out_mpix:.2f} MPix/iter); "
+        f"t_short={t_short * 1e3:.1f} ms t_long={t_long * 1e3:.1f} ms",
+        file=sys.stderr,
+    )
+    return {
+        "metric": "x4_sr_output_megapixels_per_sec_per_chip",
+        "value": round(mpix_per_s, 2),
+        "unit": "MPix/s",
+        "vs_baseline": round(mpix_per_s / 200.0, 4),
+    }
+
+
+if __name__ == "__main__":
+    result = bench()
+    print(json.dumps(result))

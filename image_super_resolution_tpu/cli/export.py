@@ -1,0 +1,81 @@
+"""Export CLI: training checkpoint -> frozen uint8->uint8 deployment artifact.
+
+The reference's export is a __main__ block in utils/models.py:764-813
+(EMA weights -> Model wrapper with baked normalize -> fuse -> TorchScript +
+ONNX). Here: EMA weights -> BN fold -> msgpack artifact (+ optional
+StableHLO program via jax.export).
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="Export a deployment artifact")
+    parser.add_argument("--checkpoint", type=str, required=True)
+    parser.add_argument("--out", type=str, default="model.isr")
+    parser.add_argument("--family", type=str, default="sr", choices=["sr", "denoise"])
+    parser.add_argument("--rs_deep", type=int, default=16)
+    parser.add_argument("--add_rate", type=float, default=0.2)
+    parser.add_argument("--scale", type=int, default=2)
+    parser.add_argument("--enchant", action="store_true")
+    parser.add_argument("--no_ema", action="store_true", help="export raw weights")
+    parser.add_argument("--stablehlo", type=str, default=None,
+                        help="also export a serialized StableHLO program here")
+    parser.add_argument("--hlo_shape", type=int, nargs=3, default=[1, 96, 96],
+                        metavar=("N", "H", "W"), help="static shape for --stablehlo")
+    parser.add_argument("--smoke", action="store_true",
+                        help="run + time one forward after export")
+    return parser
+
+
+def main(argv=None) -> None:
+    opt = build_parser().parse_args(argv)
+
+    import numpy as np
+
+    from ..models.deploy import (
+        DeploySpec,
+        build_deployed,
+        export_stablehlo,
+        load_artifact,
+        save_artifact,
+    )
+    from ..train.checkpoint import load_checkpoint
+
+    ckpt = load_checkpoint(opt.checkpoint)
+    if ckpt["meta"].get("loss"):
+        print("mean loss:", float(np.mean(ckpt["meta"]["loss"])))
+    spec = DeploySpec(
+        family=opt.family, depth=opt.rs_deep, add_rate=opt.add_rate,
+        scale=opt.scale, enchant=opt.enchant,
+    )
+    deployed, fused = build_deployed(ckpt, spec, use_ema=not opt.no_ema)
+    save_artifact(opt.out, deployed.spec, fused)
+    n_p = sum(x.size for x in __import__("jax").tree_util.tree_leaves(fused))
+    print(f"{n_p:,} parameters -> {opt.out}")
+
+    if opt.stablehlo:
+        n, h, w = opt.hlo_shape
+        export_stablehlo(deployed, n, h, w, opt.stablehlo)
+        print(f"StableHLO program -> {opt.stablehlo}")
+
+    if opt.smoke:
+        import time
+
+        import jax.numpy as jnp
+
+        reloaded = load_artifact(opt.out)
+        feed = jnp.zeros((1, 96, 96, 3), jnp.uint8)
+        out = reloaded(feed)
+        out.block_until_ready()
+        t0 = time.perf_counter()
+        reloaded(feed).block_until_ready()
+        print(f"smoke: {feed.shape} uint8 -> {out.shape} {out.dtype}, "
+              f"{(time.perf_counter() - t0) * 1e3:.2f} ms/iter")
+
+
+if __name__ == "__main__":
+    main()

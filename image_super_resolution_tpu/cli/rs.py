@@ -1,0 +1,125 @@
+"""Inference CLI ("rs" = resolution scaler).
+
+Flag parity with reference rs.py:117-124 (``--model --src --save_dir
+--window_size --batch_size --worker``) plus ``--overlap`` (default 8 — fixes
+the reference's zero-overlap seam artifacts, rs.py:16-27; pass ``--overlap 0``
+for the reference's exact non-overlap tiling) and ``--spatial_devices`` for
+multi-chip spatially-sharded inference.
+
+Image path: load artifact -> overlap-tiled batched upscale -> PNG.
+Video path: stream fixed-size frame batches -> SR -> encode (+ audio remux),
+replacing rs.py:54-76. The double-normalization bug in the reference video
+path (rs.py:63 — frames normalized on top of the artifact's baked normalize)
+is intentionally NOT reproduced: the artifact owns all normalization.
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import numpy as np
+
+from ..utils.general import VID_FORMATS
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="Tiled SR inference (image or video)")
+    parser.add_argument("--model", type=str, required=True, help="deployed artifact (.isr)")
+    parser.add_argument("--src", type=str, required=True)
+    parser.add_argument("--save_dir", type=str, default="result.png")
+    parser.add_argument("--window_size", type=int, default=96)
+    parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--worker", type=int, default=4, help="accepted for parity; unused")
+    parser.add_argument("--overlap", type=int, default=8)
+    parser.add_argument("--spatial_devices", type=int, default=1,
+                        help="shard large images over N chips (halo exchange)")
+    return parser
+
+
+def main(argv=None) -> None:
+    opt = build_parser().parse_args(argv)
+    run(**vars(opt))
+
+
+def run(
+    model: str,
+    src: str,
+    save_dir: str = "result.png",
+    window_size: int = 96,
+    batch_size: int = 8,
+    overlap: int = 8,
+    worker: int = 4,
+    spatial_devices: int = 1,
+) -> Path:
+    from ..infer.engine import TiledUpscaler
+    from ..models.deploy import load_artifact
+
+    deployed = load_artifact(model)
+    engine = TiledUpscaler(
+        deployed,
+        window=window_size,
+        overlap=overlap,
+        batch_size=batch_size,
+        spatial_devices=spatial_devices,
+    )
+    src_path = Path(src)
+    out_path = Path(save_dir)
+
+    if src_path.suffix.lower() in VID_FORMATS:
+        return _run_video(engine, deployed, src_path, out_path, batch_size)
+    return _run_image(engine, src_path, out_path)
+
+
+def _read_image_rgb(path: Path) -> np.ndarray:
+    import cv2
+
+    img = cv2.imread(str(path), cv2.IMREAD_COLOR)
+    if img is None:
+        from PIL import Image
+
+        return np.asarray(Image.open(path).convert("RGB"))
+    return img[..., ::-1].copy()
+
+
+def _run_image(engine, src: Path, out: Path) -> Path:
+    import cv2
+
+    image = _read_image_rgb(src)
+    print("input shape", image.shape)
+    result = engine.upscale_image(image)
+    out = out.with_suffix(".png")
+    out.parent.mkdir(parents=True, exist_ok=True)
+    cv2.imwrite(str(out), result[..., ::-1])
+    print("output shape", result.shape, str(out))
+    return out
+
+
+def _run_video(engine, deployed, src: Path, out: Path, batch_size: int) -> Path:
+    from ..video.reader import VideoSource
+    from ..video.recorder import FFMPEGRecorder
+
+    source = VideoSource(src)
+    out = out.with_suffix(".mp4")
+    out.parent.mkdir(parents=True, exist_ok=True)
+    scale = deployed.spec.output_scale
+    recorder = FFMPEGRecorder(
+        str(out),
+        video_dimensions=(source.width * scale, source.height * scale),
+        fps=source.fps,
+    )
+    n = 0
+    for batch, n_valid in source.batches(batch_size):
+        sr = engine.upscale_batch(batch)  # uint8 NHWC RGB
+        for frame in np.asarray(sr)[:n_valid]:
+            recorder.write_frame(frame[..., ::-1])  # RGB -> BGR
+            n += 1
+    recorder.stop_recorder()
+    recorder.add_audio(src)
+    source.close()
+    print(f"wrote {n} frames -> {out}")
+    return out
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,240 @@
+"""Training CLI.
+
+Flag-for-flag compatible with reference train.py:141-164 (same names,
+defaults, and phase selection: ``--train_denoise`` > ``--resnet`` > default
+SRGAN), plus TPU-native additions (``--train_json``, ``--vgg_weights``,
+``--eval_every``). ``--dml``/``--tpu`` are accepted for CLI compatibility and
+ignored: device selection is automatic (the TPU-native build always runs on
+the default JAX backend, data-parallel over all local devices).
+
+Phase wiring mirrors reference train.py:204-388; checkpoints keep the
+reference's naming scheme and per-epoch overwrite.
+"""
+
+from __future__ import annotations
+
+import argparse
+import random
+from pathlib import Path
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="Train SR / SRGAN / denoise models")
+    # --- reference-compatible flags (train.py:141-164) ---
+    parser.add_argument("--resnet", action="store_true", help="pixel-loss pretrain phase")
+    parser.add_argument("--scale", type=int, default=2)
+    parser.add_argument("--train_denoise", action="store_true")
+    parser.add_argument("--worker", type=int, default=2)
+    parser.add_argument("--batch_size", type=int, default=16)
+    parser.add_argument("--work_dir", type=str, default="./")
+    parser.add_argument("--momentum", type=float, default=0.999, help="adam beta2")
+    parser.add_argument("--weight_decay", type=float, default=0.0)
+    parser.add_argument("--lr", type=float, default=1e-4)
+    parser.add_argument("--epochs", type=int, default=300)
+    parser.add_argument("--dml", action="store_true", help="ignored (device is automatic)")
+    parser.add_argument("--mean", action="store_true", help="compute dataset mean/std")
+    parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--L1_loss", action="store_true")
+    parser.add_argument("--rs_deep", type=int, default=16)
+    parser.add_argument("--shape", type=int, default=96)
+    parser.add_argument("--save_name", type=str, default="checkpoint")
+    parser.add_argument("--lr2", type=float, default=0.01)
+    parser.add_argument("--seed", type=int, default=100)
+    parser.add_argument("--add_rate", type=float, default=0.2)
+    parser.add_argument("--enchant", action="store_true")
+    parser.add_argument("--tpu", action="store_true", help="ignored (device is automatic)")
+    # --- TPU-native additions ---
+    parser.add_argument("--train_json", type=str, default="./train_images.json")
+    parser.add_argument("--vgg_weights", type=str, default=None,
+                        help="npz of VGG19 ImageNet weights for the perceptual loss")
+    parser.add_argument("--eval_json", type=str, default=None)
+    parser.add_argument("--eval_every", type=int, default=0, help="epochs between evals")
+    parser.add_argument("--no_tensorboard", action="store_true")
+    return parser
+
+
+def main(argv=None) -> None:
+    opt = build_parser().parse_args(argv)
+    run_training(opt)
+
+
+def run_training(opt) -> None:
+    random.seed(opt.seed)
+    np.random.seed(opt.seed)
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..core.mesh import batch_sharding, local_mesh, replicated_sharding
+    from ..data.pipeline import DevicePrefetcher, LoaderConfig, PatchLoader
+    from ..models import Denoiser, Discriminator, SRGenerator
+    from ..train import (
+        build_optimizer,
+        checkpoint_name,
+        create_train_state,
+        load_checkpoint,
+        make_denoise_train_step,
+        make_eval_step,
+        make_gan_train_step,
+        make_pixel_train_step,
+        resume_state,
+        save_checkpoint,
+        warm_start_generator,
+    )
+    from ..utils.logging import MetricsLogger
+
+    work_dir = Path(opt.work_dir)
+    work_dir.mkdir(parents=True, exist_ok=True)
+    phase = "denoise" if opt.train_denoise else ("pixel" if opt.resnet else "gan")
+    ckpt_path = work_dir / checkpoint_name(phase, opt.save_name, opt.rs_deep, opt.add_rate)
+    res_ckpt_path = work_dir / checkpoint_name("pixel", opt.save_name, opt.rs_deep, opt.add_rate)
+    logger = MetricsLogger(work_dir, opt.save_name, use_tensorboard=not opt.no_tensorboard)
+
+    scale = 1 if phase == "denoise" else opt.scale
+    cfg = LoaderConfig(
+        batch_size=opt.batch_size, patch_size=opt.shape, scale=scale,
+        workers=opt.worker, seed=opt.seed,
+    )
+    loader = PatchLoader(opt.train_json, cfg)
+    if opt.mean:
+        loader.calculate_stats()
+    mean, std = list(loader.mean), list(loader.std)
+    steps_per_epoch = len(loader)
+    total_steps = opt.epochs * steps_per_epoch
+    print(f"Train: {len(loader.samples)} images, {steps_per_epoch} steps/epoch, "
+          f"phase={phase}, devices={jax.device_count()}")
+
+    mesh = local_mesh()
+    data_shard = batch_sharding(mesh)
+    repl = replicated_sharding(mesh)
+
+    def make_tx():
+        return build_optimizer(
+            lr=opt.lr, lr2=opt.lr2, total_steps=total_steps,
+            weight_decay=opt.weight_decay, b2=opt.momentum,
+        )
+
+    rng = jax.random.PRNGKey(opt.seed)
+
+    def n_params(tree):
+        return sum(x.size for x in jax.tree_util.tree_leaves(tree))
+
+    if phase == "denoise":
+        model = Denoiser(depth=opt.rs_deep)
+        state = create_train_state(model, (1, opt.shape, opt.shape, 3), make_tx(), rng)
+        step_fn = make_denoise_train_step(mean, std)
+    elif phase == "pixel":
+        model = SRGenerator(depth=opt.rs_deep, add_rate=opt.add_rate,
+                            scale=opt.scale, enchant=opt.enchant)
+        state = create_train_state(model, (1, 24, 24, 3), make_tx(), rng,
+                                   ema_tau=total_steps)
+        pixel_loss = "l1" if (opt.enchant or opt.L1_loss) else "mse"
+        step_fn = make_pixel_train_step(opt.scale, "tanh", pixel_loss, mean, std)
+    else:  # gan
+        from ..losses.perceptual import PerceptualLoss
+        from ..models.vgg import TruncatedVGG19, init_vgg_params
+
+        model = SRGenerator(depth=opt.rs_deep, add_rate=opt.add_rate,
+                            scale=opt.scale, enchant=opt.enchant)
+        state = create_train_state(model, (1, 24, 24, 3), make_tx(), rng,
+                                   ema_tau=total_steps)
+        d_model = Discriminator(3, 64, 8, 1024)
+        d_state = create_train_state(
+            d_model, (1, loader.patch, loader.patch, 3), make_tx(),
+            jax.random.PRNGKey(opt.seed + 1), with_ema=False,
+        )
+        vgg = TruncatedVGG19(i=5, j=4, before_act=opt.enchant)
+        vgg_params = init_vgg_params(vgg, opt.vgg_weights)
+        perceptual = PerceptualLoss(vgg_params, before_act=opt.enchant)
+        step_fn = make_gan_train_step(opt.scale, perceptual, mean, std)
+
+    start_epoch = 0
+    if phase == "gan":
+        if opt.resume and ckpt_path.is_file():
+            print(f"Train: load state dict from {ckpt_path}")
+            ckpt = load_checkpoint(ckpt_path)
+            state, start_epoch = resume_state(state, ckpt)
+            if "d_params" in ckpt:
+                from ..utils.general import intersect_trees
+
+                d_params, _, _ = intersect_trees(ckpt["d_params"], d_state.params)
+                d_stats, _, _ = intersect_trees(ckpt.get("d_batch_stats", {}),
+                                                d_state.batch_stats)
+                to_dev = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
+                d_state = d_state.replace(params=to_dev(d_params),
+                                          batch_stats=to_dev(d_stats))
+        else:
+            state = warm_start_generator(state, res_ckpt_path)
+    elif opt.resume and ckpt_path.is_file():
+        print(f"load from {ckpt_path}")
+        state, start_epoch = resume_state(state, load_checkpoint(ckpt_path))
+
+    # Reference dumps the first 10 batches of hr/lr images to TensorBoard as a
+    # visual pipeline check when not resuming (train.py:250-256).
+    if not opt.resume and phase != "denoise":
+        from ..data.degrade import downscale
+
+        for idx, batch in enumerate(loader):
+            logger.images("images/hr", batch, idx)
+            lr_u8 = np.asarray(
+                jnp.clip(downscale(jnp.asarray(batch, jnp.float32) / 255.0, scale)
+                         * 255.0, 0, 255)
+            ).astype(np.uint8)
+            logger.images("images/lr", lr_u8, idx)
+            if idx == 10:
+                break
+
+    print(f"Train: {opt.epochs} epochs, {n_params(state.params):,} parameters")
+    eval_fn = make_eval_step(scale, mean, std) if opt.eval_every else None
+    eval_loader = None
+    if opt.eval_every and opt.eval_json:
+        eval_loader = PatchLoader(opt.eval_json, cfg)
+
+    state = jax.device_put(state, repl)
+    if phase == "gan":
+        d_state = jax.device_put(d_state, repl)
+
+    denoise_rng = jax.random.PRNGKey(opt.seed + 2)
+    for epoch in range(start_epoch, opt.epochs):
+        loader.set_epoch(epoch)
+        losses = []
+        for batch in DevicePrefetcher(iter(loader), sharding=data_shard):
+            if phase == "gan":
+                state, d_state, metrics = step_fn(state, d_state, batch)
+                losses.append(float(metrics["loss/content"]))
+            elif phase == "denoise":
+                denoise_rng, sub = jax.random.split(denoise_rng)
+                state, metrics = step_fn(state, batch, sub)
+                losses.append(float(metrics["loss"]))
+            else:
+                state, metrics = step_fn(state, batch)
+                losses.append(float(metrics["loss"]))
+            logger.scalars(metrics, int(state.step))
+        print(f"Epoch [{epoch}] mean loss {np.mean(losses):.5f}")
+
+        extra = None
+        if phase == "gan":
+            extra = {
+                "d_params": jax.device_get(d_state.params),
+                "d_batch_stats": jax.device_get(d_state.batch_stats),
+            }
+        save_checkpoint(
+            ckpt_path, state, epoch, mean, std, losses,
+            final=epoch == opt.epochs - 1, extra=extra,
+        )
+
+        if eval_fn is not None and eval_loader is not None and (
+            (epoch + 1) % opt.eval_every == 0
+        ):
+            ms = [eval_fn(state, b) for _, b in zip(range(8), iter(eval_loader))]
+            agg = {k: float(np.mean([float(m[k]) for m in ms])) for k in ms[0]}
+            logger.scalars({f"eval/{k}": v for k, v in agg.items()}, int(state.step))
+            print(f"Eval [{epoch}] " + " ".join(f"{k}={v:.3f}" for k, v in agg.items()))
+
+    logger.close()
+
+
+if __name__ == "__main__":
+    main()

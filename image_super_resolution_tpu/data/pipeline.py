@@ -150,27 +150,36 @@ class PatchLoader:
         order = rng.permutation(len(self.samples))
         n_batches = self.steps_per_epoch
 
+        from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
+        # One future per PATCH (flat — never submit pool work from inside the
+        # pool, which deadlocks when outer tasks saturate the workers).
         with ThreadPoolExecutor(max_workers=max(cfg.workers, 1)) as pool:
-            def make_batch(b: int) -> np.ndarray:
+            def submit_batch(b: int):
                 idx = order[b * cfg.batch_size : (b + 1) * cfg.batch_size]
                 if len(idx) < cfg.batch_size:  # pad final partial batch
                     idx = np.concatenate([idx, order[: cfg.batch_size - len(idx)]])
-                seeds = [np.random.default_rng(
-                    np.random.SeedSequence([cfg.seed, self._epoch, b, int(i)])
-                ) for i in idx]
-                patches = list(
-                    pool.map(self._load_patch, [self.samples[i] for i in idx], seeds)
-                )
-                return np.stack(patches)
+                return [
+                    pool.submit(
+                        self._load_patch,
+                        self.samples[i],
+                        np.random.default_rng(
+                            np.random.SeedSequence([cfg.seed, self._epoch, b, int(i)])
+                        ),
+                    )
+                    for i in idx
+                ]
 
-            futures = [pool.submit(make_batch, b) for b in range(min(cfg.prefetch, n_batches))]
-            next_b = len(futures)
+            pending = deque(
+                submit_batch(b) for b in range(min(cfg.prefetch, n_batches))
+            )
+            next_b = len(pending)
             for _ in range(n_batches):
-                yield futures.pop(0).result()
+                futures = pending.popleft()
+                yield np.stack([f.result() for f in futures])
                 if next_b < n_batches:
-                    futures.append(pool.submit(make_batch, next_b))
+                    pending.append(submit_batch(next_b))
                     next_b += 1
 
 

@@ -1,0 +1,172 @@
+"""Frozen deployment artifact: the TorchScript ``model.pt`` equivalent.
+
+The reference export path (utils/models.py:764-813) loads the training
+checkpoint's EMA weights into a ``Model`` wrapper whose graph bakes in the
+dataset normalization and the tanh->uint8 decode (Normalize -> net ->
+TanhToArrayImage, utils/models.py:731-732), folds BN into convs, and traces to
+TorchScript + ONNX. The contract: **uint8 image in -> uint8 image out**, no
+client-side pre/post-processing.
+
+TPU-native equivalent:
+- ``build_deployed`` takes a training checkpoint, picks the EMA weights,
+  folds BN (ops/fuse.py), and returns a jitted uint8 NHWC -> uint8 NHWC
+  apply function with normalization baked into the compiled program.
+- ``save_artifact``/``load_artifact`` persist {spec JSON + fused fp16 params}
+  as one msgpack file.
+- ``export_stablehlo`` serializes the whole program with ``jax.export`` —
+  the XLA-native analog of the TorchScript/ONNX artifact (runs under any
+  PJRT runtime without this package's Python code).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import asdict, dataclass, field
+from pathlib import Path
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+
+from ..data.transforms import IMAGENET_MEAN, IMAGENET_STD, normalize, tanh_to_uint8
+from ..ops.fuse import fuse_conv_bn
+from .denoiser import Denoiser
+from .generator import SRGenerator
+
+
+@dataclass(frozen=True)
+class DeploySpec:
+    """Everything needed to rebuild the inference graph."""
+
+    family: str = "sr"  # "sr" | "denoise"
+    depth: int = 16
+    width: int = 64
+    add_rate: float = 0.2
+    scale: int = 2
+    enchant: bool = False
+    mean: Tuple[float, float, float] = IMAGENET_MEAN
+    std: Tuple[float, float, float] = IMAGENET_STD
+
+    def build_model(self, dtype=jnp.bfloat16):
+        if self.family == "denoise":
+            return Denoiser(depth=self.depth, width=self.width, fused=True, dtype=dtype)
+        return SRGenerator(
+            depth=self.depth,
+            add_rate=self.add_rate,
+            scale=self.scale,
+            width=self.width,
+            enchant=self.enchant,
+            fused=True,
+            dtype=dtype,
+        )
+
+    @property
+    def output_scale(self) -> int:
+        return 1 if self.family == "denoise" else self.scale
+
+
+class DeployedModel:
+    """uint8 NHWC -> uint8 NHWC compiled super-resolver."""
+
+    def __init__(self, spec: DeploySpec, fused_params: Dict[str, Any], dtype=jnp.bfloat16):
+        self.spec = spec
+        self.params = fused_params
+        self._model = spec.build_model(dtype)
+        mean = tuple(float(v) for v in spec.mean)
+        std = tuple(float(v) for v in spec.std)
+
+        def apply(params, u8: jnp.ndarray) -> jnp.ndarray:
+            x = normalize(u8, mean, std)
+            y = self._model.apply({"params": params}, x)
+            return tanh_to_uint8(y)
+
+        self._apply = jax.jit(apply)
+
+    def __call__(self, u8_batch: jnp.ndarray) -> jnp.ndarray:
+        return self._apply(self.params, u8_batch)
+
+    @property
+    def raw_apply(self) -> Callable:
+        """(params, uint8) -> uint8, un-curried (for AOT export / sharding)."""
+        return self._apply
+
+
+# ------------------------------------------------------------ persistence --
+
+def _to_fp16(tree):
+    return jax.tree_util.tree_map(
+        lambda x: np.asarray(x).astype(np.float16)
+        if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating)
+        else np.asarray(x),
+        tree,
+    )
+
+
+def _to_fp32(tree):
+    return jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x, jnp.float32)
+        if getattr(x, "dtype", None) == np.float16
+        else jnp.asarray(x),
+        tree,
+    )
+
+
+def save_artifact(path: str | Path, spec: DeploySpec, fused_params: Dict[str, Any]) -> None:
+    payload = {
+        "spec": json.dumps(asdict(spec)),
+        "params": _to_fp16(jax.device_get(fused_params)),
+        "format_version": 1,
+    }
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    path.write_bytes(serialization.msgpack_serialize(payload))
+
+
+def load_artifact(path: str | Path, dtype=jnp.bfloat16) -> DeployedModel:
+    payload = serialization.msgpack_restore(Path(path).read_bytes())
+    spec_dict = json.loads(payload["spec"])
+    spec_dict["mean"] = tuple(spec_dict["mean"])
+    spec_dict["std"] = tuple(spec_dict["std"])
+    spec = DeploySpec(**spec_dict)
+    return DeployedModel(spec, _to_fp32(payload["params"]), dtype)
+
+
+# ------------------------------------------------------------- building ----
+
+def build_deployed(
+    ckpt: Dict[str, Any],
+    spec: DeploySpec,
+    use_ema: bool = True,
+    dtype=jnp.bfloat16,
+) -> Tuple[DeployedModel, Dict[str, Any]]:
+    """Training checkpoint -> fused DeployedModel (+ fused params).
+
+    Mirrors the reference export: EMA weights preferred (utils/models.py:780),
+    dataset mean/std baked from the checkpoint (781), BN folded (784).
+    """
+    params = ckpt.get("ema_params" if use_ema else "params") or ckpt["params"]
+    stats = ckpt.get("ema_batch_stats" if use_ema else "batch_stats", {}) or {}
+    fused = fuse_conv_bn(params, stats)
+    meta = ckpt.get("meta", {})
+    if meta.get("mean") and meta.get("std"):
+        spec = DeploySpec(**{**asdict(spec), "mean": tuple(meta["mean"]), "std": tuple(meta["std"])})
+    model = DeployedModel(spec, jax.tree_util.tree_map(jnp.asarray, fused), dtype)
+    return model, fused
+
+
+def export_stablehlo(
+    deployed: DeployedModel,
+    batch: int,
+    height: int,
+    width: int,
+    out_path: str | Path,
+) -> None:
+    """Serialize the compiled program (StableHLO bytes) via jax.export."""
+    from jax import export as jax_export
+
+    fn = jax.jit(lambda u8: deployed(u8))
+    spec = jax.ShapeDtypeStruct((batch, height, width, 3), jnp.uint8)
+    exported = jax_export.export(fn)(spec)
+    Path(out_path).write_bytes(exported.serialize())

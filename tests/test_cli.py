@@ -1,0 +1,128 @@
+"""Full end-to-end CLI slice on synthetic data (SURVEY.md §7 minimum slice):
+create_json -> train (all three phases, 1 epoch, tiny nets) -> export -> rs.
+"""
+
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from image_super_resolution_tpu.cli.create_json import main as create_json_main
+from image_super_resolution_tpu.cli.export import main as export_main
+from image_super_resolution_tpu.cli.rs import main as rs_main
+from image_super_resolution_tpu.cli.train import main as train_main
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    from PIL import Image
+
+    ws = tmp_path_factory.mktemp("ws")
+    img_dir = ws / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(6):
+        base = rng.uniform(0, 255, (10, 10, 3))
+        arr = np.kron(base, np.ones((8, 8, 1))).astype(np.uint8)  # smooth 80x80
+        Image.fromarray(arr).save(img_dir / f"img_{i}.png")
+    create_json_main([
+        "--train_dirs", str(img_dir), "--val_dirs", str(img_dir),
+        "--shape", "48", "--output", str(ws),
+    ])
+    assert (ws / "train_images.json").exists()
+    return ws
+
+
+COMMON = ["--epochs", "1", "--batch_size", "2", "--rs_deep", "1",
+          "--shape", "48", "--worker", "2", "--no_tensorboard"]
+
+
+def test_cli_pixel_phase_then_export_then_rs(workspace):
+    ws = workspace
+    train_main([
+        "--resnet", "--scale", "2", "--save_name", "t",
+        "--train_json", str(ws / "train_images.json"),
+        "--work_dir", str(ws), *COMMON,
+    ])
+    ckpt = ws / "res_t_1_0.2.ckpt"
+    assert ckpt.exists()
+
+    artifact = ws / "model.isr"
+    export_main([
+        "--checkpoint", str(ckpt), "--out", str(artifact),
+        "--rs_deep", "1", "--scale", "2",
+    ])
+    assert artifact.exists()
+
+    rs_main([
+        "--model", str(artifact), "--src", str(ws / "imgs" / "img_0.png"),
+        "--save_dir", str(ws / "out.png"),
+        "--window_size", "48", "--overlap", "8", "--batch_size", "2",
+    ])
+    out = ws / "out.png"
+    assert out.exists()
+    from PIL import Image
+
+    assert Image.open(out).size == (160, 160)  # 80x80 -> x2
+
+
+def test_cli_pixel_resume(workspace):
+    ws = workspace
+    train_main([
+        "--resnet", "--scale", "2", "--save_name", "t", "--resume",
+        "--train_json", str(ws / "train_images.json"),
+        "--work_dir", str(ws), "--epochs", "2", "--batch_size", "2",
+        "--rs_deep", "1", "--shape", "48", "--no_tensorboard",
+    ])
+    assert (ws / "res_t_1_0.2.ckpt").exists()
+
+
+def test_cli_gan_phase_warm_start(workspace):
+    ws = workspace
+    train_main([
+        "--scale", "2", "--save_name", "t",
+        "--train_json", str(ws / "train_images.json"),
+        "--work_dir", str(ws), *COMMON,
+    ])
+    assert (ws / "gen_t_1_0.2.ckpt").exists()
+
+
+def test_cli_denoise_phase(workspace):
+    ws = workspace
+    train_main([
+        "--train_denoise", "--save_name", "t",
+        "--train_json", str(ws / "train_images.json"),
+        "--work_dir", str(ws), *COMMON,
+    ])
+    ckpt = ws / "denoise_t_1_0.2.ckpt"
+    assert ckpt.exists()
+    artifact = ws / "denoise.isr"
+    export_main([
+        "--checkpoint", str(ckpt), "--out", str(artifact),
+        "--family", "denoise", "--rs_deep", "1",
+    ])
+    rs_main([
+        "--model", str(artifact), "--src", str(ws / "imgs" / "img_1.png"),
+        "--save_dir", str(ws / "dn.png"),
+        "--window_size", "48", "--overlap", "4", "--batch_size", "2",
+    ])
+    from PIL import Image
+
+    assert Image.open(ws / "dn.png").size == (80, 80)  # x1 contract
+
+
+def test_graft_entry_multichip():
+    sys.path.insert(0, "/root/repo")
+    try:
+        import __graft_entry__ as g
+
+        fn, args = g.entry()
+        import jax
+
+        shape = jax.eval_shape(fn, *args)
+        assert shape.shape == (1, 384, 384, 3) and shape.dtype.name == "uint8"
+        g.dryrun_multichip(8)
+    finally:
+        sys.path.pop(0)

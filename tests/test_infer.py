@@ -1,0 +1,139 @@
+"""Inference engine tests: tiling exactness, deploy artifact round trip,
+spatial halo-exchange sharding, StableHLO export."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from image_super_resolution_tpu.data.transforms import normalize, tanh_to_uint8
+from image_super_resolution_tpu.infer.tiling import plan_tiles, upscale_tiled
+from image_super_resolution_tpu.models import SRGenerator
+from image_super_resolution_tpu.models.deploy import (
+    DeployedModel,
+    DeploySpec,
+    build_deployed,
+    load_artifact,
+    save_artifact,
+)
+
+
+def small_deployed(scale=2, depth=1, width=8):
+    spec = DeploySpec(family="sr", depth=depth, width=width, scale=scale)
+    model = spec.build_model(dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
+    return DeployedModel(spec, variables["params"], dtype=jnp.float32)
+
+
+def test_plan_tiles_covers_image():
+    positions, stride, ph, pw = plan_tiles(100, 70, window=48, overlap=8)
+    assert stride == 32
+    ys = {y for y, _ in positions}
+    xs = {x for _, x in positions}
+    assert max(ys) + 48 <= ph and max(xs) + 48 <= pw
+    assert ph >= 100 + 16 and pw >= 70 + 16
+
+
+def test_tiled_equals_whole_image_given_enough_overlap():
+    """With overlap >= receptive field, tiled == whole away from borders."""
+    deployed = small_deployed(scale=2, depth=1, width=8)
+    rng = np.random.default_rng(0)
+    image = rng.integers(0, 255, (72, 88, 3), dtype=np.uint8)
+
+    whole = np.asarray(deployed(jnp.asarray(image[None])))[0]
+    # depth-1 receptive field radius ~23 px; use overlap 24.
+    tiled = upscale_tiled(deployed, image, window=64, overlap=24, batch_size=4)
+    assert tiled.shape == whole.shape == (144, 176, 3)
+    r = 24 * 2  # crop the border where padding policies differ (reflect vs zero)
+    np.testing.assert_array_equal(tiled[r:-r, r:-r], whole[r:-r, r:-r])
+
+
+def test_tiled_zero_overlap_reference_mode():
+    deployed = small_deployed(scale=2)
+    image = np.random.default_rng(1).integers(0, 255, (50, 60, 3), dtype=np.uint8)
+    out = upscale_tiled(deployed, image, window=32, overlap=0, batch_size=4)
+    assert out.shape == (100, 120, 3)
+    whole = np.asarray(deployed(jnp.asarray(image[None])))[0]
+    # interior of the first tile must match exactly (same computation)
+    np.testing.assert_array_equal(out[20:40, 20:40], whole[20:40, 20:40])
+
+
+def test_scale_autodetect_x1():
+    """x1 (denoise-like) artifacts keep working, as rs.py:98-102 intended."""
+    deployed = small_deployed(scale=1)
+    image = np.random.default_rng(2).integers(0, 255, (40, 40, 3), dtype=np.uint8)
+    out = upscale_tiled(deployed, image, window=32, overlap=4, batch_size=2)
+    assert out.shape == image.shape
+
+
+def test_deploy_artifact_roundtrip(tmp_path):
+    from image_super_resolution_tpu.train import build_optimizer, create_train_state
+    from image_super_resolution_tpu.train.checkpoint import (
+        load_checkpoint,
+        save_checkpoint,
+    )
+
+    model = SRGenerator(depth=1, width=8, scale=2, dtype=jnp.float32)
+    tx = build_optimizer(total_steps=10)
+    state = create_train_state(model, (1, 16, 16, 3), tx, jax.random.PRNGKey(0))
+    ck = tmp_path / "res.ckpt"
+    save_checkpoint(ck, state, 0, mean=[0.4, 0.5, 0.6], std=[0.2, 0.25, 0.3])
+
+    spec = DeploySpec(family="sr", depth=1, width=8, scale=2)
+    deployed, fused = build_deployed(load_checkpoint(ck), spec, dtype=jnp.float32)
+    assert deployed.spec.mean == (0.4, 0.5, 0.6)  # baked from checkpoint meta
+
+    x = jnp.asarray(np.random.default_rng(0).integers(0, 255, (1, 16, 16, 3),
+                                                      dtype=np.uint8))
+    out1 = deployed(x)
+    assert out1.dtype == jnp.uint8 and out1.shape == (1, 32, 32, 3)
+
+    path = tmp_path / "model.isr"
+    save_artifact(path, deployed.spec, fused)
+    reloaded = load_artifact(path, dtype=jnp.float32)
+    out2 = reloaded(x)
+    # fp16 storage quantization can flip borderline pixels by 1.
+    diff = np.abs(out1.astype(np.int32) - out2.astype(np.int32))
+    assert int(diff.max()) <= 1
+
+
+def test_spatial_apply_matches_single_device():
+    from image_super_resolution_tpu.core.mesh import make_mesh
+    from image_super_resolution_tpu.parallel.spatial import spatial_apply
+
+    model = SRGenerator(depth=1, width=8, scale=2, enchant=True, dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
+    params = variables["params"]
+
+    def net_apply(p, x):
+        return model.apply({"params": p}, x)
+
+    mesh = make_mesh(n_data=1, n_tile=4)
+    rng = np.random.default_rng(3)
+    image = jnp.asarray(rng.uniform(-1, 1, (1, 64, 32, 3)).astype(np.float32))
+
+    out_sp = np.asarray(spatial_apply(net_apply, params, image, mesh, halo=16, scale=2))
+    out_single = np.asarray(net_apply(params, image))
+    assert out_sp.shape == out_single.shape == (1, 128, 64, 3)
+    # identical away from the top/bottom borders (reflect halo vs conv zero-pad)
+    r = 16 * 2
+    np.testing.assert_allclose(
+        out_sp[:, r:-r], out_single[:, r:-r], rtol=1e-5, atol=1e-5
+    )
+
+
+def test_stablehlo_export_roundtrip(tmp_path):
+    from jax import export as jax_export
+
+    from image_super_resolution_tpu.models.deploy import export_stablehlo
+
+    deployed = small_deployed(scale=2)
+    path = tmp_path / "model.hlo"
+    export_stablehlo(deployed, 1, 16, 16, path)
+    rebuilt = jax_export.deserialize(path.read_bytes())
+    x = jnp.asarray(np.random.default_rng(0).integers(0, 255, (1, 16, 16, 3),
+                                                      dtype=np.uint8))
+    want = np.asarray(deployed(x))
+    got = np.asarray(rebuilt.call(x))
+    np.testing.assert_array_equal(got, want)
