@@ -61,8 +61,8 @@ def _timed_chain(deployed, xs, k: int) -> float:
 def bench(
     depth: int = 16,
     scale: int = 4,
-    batch: int = 8,
-    tile: int = 128,
+    batch: int = 256,
+    tile: int = 24,
     k_short: int = 1,
     k_long: int = 6,
 ) -> dict:

@@ -68,12 +68,35 @@ class DeploySpec:
 
 
 class DeployedModel:
-    """uint8 NHWC -> uint8 NHWC compiled super-resolver."""
+    """uint8 NHWC -> uint8 NHWC compiled super-resolver.
 
-    def __init__(self, spec: DeploySpec, fused_params: Dict[str, Any], dtype=jnp.bfloat16):
+    ``optimize=True`` (default for the SR family) rebuilds the graph in the
+    MXU-efficient form — scatter-form dense blocks + tail folded through the
+    final pixel shuffle (models/optimized.py) — an exact rewrite, ~2x faster
+    on v5e. Artifacts always store the standard fused layout; the transform
+    happens at construction.
+    """
+
+    def __init__(
+        self,
+        spec: DeploySpec,
+        fused_params: Dict[str, Any],
+        dtype=jnp.bfloat16,
+        optimize: bool = True,
+    ):
         self.spec = spec
-        self.params = fused_params
-        self._model = spec.build_model(dtype)
+        self.optimized = bool(optimize and spec.family == "sr" and spec.scale in (2, 4))
+        if self.optimized:
+            from .optimized import OptimizedSRGenerator, optimize_generator_params
+
+            self.params = optimize_generator_params(fused_params)
+            self._model = OptimizedSRGenerator(
+                depth=spec.depth, add_rate=spec.add_rate, scale=spec.scale,
+                width=spec.width, enchant=spec.enchant, dtype=dtype,
+            )
+        else:
+            self.params = fused_params
+            self._model = spec.build_model(dtype)
         mean = tuple(float(v) for v in spec.mean)
         std = tuple(float(v) for v in spec.std)
 
