@@ -1,0 +1,94 @@
+"""Evaluation CLI: PSNR / PSNR-Y / SSIM over a validation manifest.
+
+The reference has NO evaluation loop at all (SURVEY.md §5 — its Y-channel
+metric transform existed but was never called; utils/datasets.py:159-166).
+This CLI measures a deployed artifact against ground truth with the standard
+SR protocol (PSNR on the BT.601 Y channel, 4-px border crop) and reports the
+bicubic-upsample baseline alongside.
+
+Deterministic: fixed-seed center crops, fixed degradation. LR is produced by
+the same on-device kernel the training pipeline uses (data/degrade.py), so
+train/eval distributions match.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="Evaluate PSNR/SSIM of an artifact")
+    parser.add_argument("--model", type=str, required=True)
+    parser.add_argument("--val_json", type=str, default="./val_images.json")
+    parser.add_argument("--shape", type=int, default=192, help="HR eval crop")
+    parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--max_images", type=int, default=256)
+    parser.add_argument("--degrade", type=str, default="bilinear",
+                        choices=["bilinear", "bicubic"])
+    parser.add_argument("--antialias", action="store_true")
+    parser.add_argument("--json_out", type=str, default=None)
+    return parser
+
+
+def main(argv=None) -> dict:
+    opt = build_parser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..data import degrade
+    from ..data.manifest import load_manifest
+    from ..data.pipeline import LoaderConfig, PatchLoader
+    from ..models.deploy import load_artifact
+    from ..utils.general import ground_up
+    from ..utils.metrics import psnr, psnr_y, ssim
+
+    deployed = load_artifact(opt.model)
+    scale = deployed.spec.output_scale
+    shape = ground_up(opt.shape, max(scale, 1))
+
+    samples = load_manifest(opt.val_json)[: opt.max_images]
+    cfg = LoaderConfig(batch_size=opt.batch_size, patch_size=shape, scale=scale,
+                       workers=4, seed=0, drop_last=True)
+    loader = PatchLoader(samples, cfg)
+
+    @jax.jit
+    def eval_batch(hr_u8):
+        hr01 = hr_u8.astype(jnp.float32) / 255.0
+        if scale > 1:
+            lr01 = degrade.downscale(hr01, scale, opt.degrade, opt.antialias)
+        else:
+            lr01 = hr01
+        lr_u8 = jnp.clip(jnp.round(lr01 * 255.0), 0, 255).astype(jnp.uint8)
+        sr01 = deployed.raw_apply(deployed.params, lr_u8).astype(jnp.float32) / 255.0
+        cubic01 = degrade.upscale(lr01, scale) if scale > 1 else lr01
+        return {
+            "psnr": psnr(sr01, hr01),
+            "psnr_y": psnr_y(sr01, hr01),
+            "ssim": ssim(sr01, hr01),
+            "bicubic_psnr": psnr(jnp.clip(cubic01, 0, 1), hr01),
+            "bicubic_psnr_y": psnr_y(jnp.clip(cubic01, 0, 1), hr01),
+        }
+
+    totals: dict = {}
+    n = 0
+    for batch in loader:
+        metrics = eval_batch(jnp.asarray(batch))
+        for k, v in metrics.items():
+            totals[k] = totals.get(k, 0.0) + float(v)
+        n += 1
+    result = {k: round(v / max(n, 1), 4) for k, v in totals.items()}
+    result["n_batches"] = n
+    result["hr_crop"] = shape
+    result["scale"] = scale
+    print(json.dumps(result))
+    if opt.json_out:
+        with open(opt.json_out, "w") as fh:
+            json.dump(result, fh)
+    return result
+
+
+if __name__ == "__main__":
+    main()

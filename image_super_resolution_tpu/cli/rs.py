@@ -37,9 +37,9 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
-def main(argv=None) -> None:
+def main(argv=None):
     opt = build_parser().parse_args(argv)
-    run(**vars(opt))
+    return run(**vars(opt))
 
 
 def run(
