@@ -32,8 +32,24 @@ def downscale(
     degradation — albumentations.Resize == cv2.INTER_LINEAR without
     prefiltering (utils/datasets.py:302). ``bicubic`` + antialias gives the
     standard-benchmark (MATLAB-style) kernel.
+
+    The default path has an exact closed form for integer factors: with
+    half-pixel centers the sample lands midway between the two middle pixels
+    of each block (even factor) or on the center pixel (odd factor). It is
+    computed with reshapes — jax.image.resize's gather-based no-antialias
+    path is pathologically slow on TPU (measured ~2.2 s for a training batch
+    vs ~0 for this form).
     """
     n, h, w, c = x01.shape
+    if method == "bilinear" and not antialias and h % scale == 0 and w % scale == 0:
+        if scale == 1:
+            return x01
+        blocks = x01.reshape(n, h // scale, scale, w // scale, scale, c)
+        m = scale // 2
+        if scale % 2:  # odd factor: sample point is the exact center pixel
+            return blocks[:, :, m, :, m, :]
+        rows = (blocks[:, :, m - 1] + blocks[:, :, m]) * 0.5  # (n,H/s,W/s,s,c)
+        return (rows[:, :, :, m - 1] + rows[:, :, :, m]) * 0.5
     out_shape = (n, h // scale, w // scale, c)
     return jax.image.resize(x01, out_shape, method=method, antialias=antialias)
 

@@ -78,6 +78,12 @@ class TruncatedVGG19(nn.Module):
                 features=int(item),
                 kernel_size=(3, 3),
                 padding=((1, 1), (1, 1)),
+                # He init keeps feature magnitude O(1) through the ReLU stack,
+                # so the random-weights fallback still yields a usable
+                # perceptual distance (flax's lecun default attenuates ~2^-16
+                # over 16 layers -> content loss underflows). Loaded ImageNet
+                # weights overwrite this.
+                kernel_init=nn.initializers.he_normal(),
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name=f"conv{conv_idx - 1}",

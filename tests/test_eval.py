@@ -55,14 +55,12 @@ def test_downscale_matches_cv2_bilinear():
     from image_super_resolution_tpu.data.degrade import downscale
 
     rng = np.random.default_rng(0)
-    # smooth image (SR training inputs are natural images, not white noise)
-    base = rng.uniform(0, 1, (16, 16, 3))
-    img = np.kron(base, np.ones((4, 4, 1))).astype(np.float32)  # 64x64
-
-    want = cv2.resize(img, (32, 32), interpolation=cv2.INTER_LINEAR)
-    got = np.asarray(downscale(jnp.asarray(img[None]), 2)[0])
-    # jax half-pixel-centered bilinear == cv2 INTER_LINEAR for integer factors
-    np.testing.assert_allclose(got, want, atol=2e-2)
+    img = rng.uniform(0, 1, (60, 60, 3)).astype(np.float32)  # white noise: strictest
+    for s in (2, 3, 4):
+        want = cv2.resize(img, (60 // s, 60 // s), interpolation=cv2.INTER_LINEAR)
+        got = np.asarray(downscale(jnp.asarray(img[None]), s)[0])
+        # closed-form midpoint sampling == cv2 INTER_LINEAR exactly
+        np.testing.assert_allclose(got, want, atol=1e-6, err_msg=f"scale {s}")
 
 
 def test_profiling_step_timer():
