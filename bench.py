@@ -24,7 +24,6 @@ from __future__ import annotations
 import json
 import sys
 import time
-from functools import partial
 
 
 def _timed_chain(deployed, xs, k: int) -> float:

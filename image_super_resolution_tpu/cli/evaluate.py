@@ -36,7 +36,6 @@ def main(argv=None) -> dict:
 
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     from ..data import degrade
     from ..data.manifest import load_manifest

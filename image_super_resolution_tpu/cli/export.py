@@ -9,7 +9,6 @@ StableHLO program via jax.export).
 from __future__ import annotations
 
 import argparse
-from pathlib import Path
 
 
 def build_parser() -> argparse.ArgumentParser:

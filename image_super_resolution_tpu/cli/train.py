@@ -52,6 +52,8 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--eval_json", type=str, default=None)
     parser.add_argument("--eval_every", type=int, default=0, help="epochs between evals")
     parser.add_argument("--no_tensorboard", action="store_true")
+    parser.add_argument("--remat", action="store_true",
+                        help="rematerialize RRDB activations (bigger batches)")
     return parser
 
 
@@ -97,7 +99,10 @@ def run_training(opt) -> None:
         batch_size=opt.batch_size, patch_size=opt.shape, scale=scale,
         workers=opt.worker, seed=opt.seed,
     )
-    loader = PatchLoader(opt.train_json, cfg)
+    loader = PatchLoader(
+        opt.train_json, cfg,
+        process_index=jax.process_index(), process_count=jax.process_count(),
+    )
     if opt.mean:
         loader.calculate_stats()
     mean, std = list(loader.mean), list(loader.std)
@@ -127,7 +132,8 @@ def run_training(opt) -> None:
         step_fn = make_denoise_train_step(mean, std)
     elif phase == "pixel":
         model = SRGenerator(depth=opt.rs_deep, add_rate=opt.add_rate,
-                            scale=opt.scale, enchant=opt.enchant)
+                            scale=opt.scale, enchant=opt.enchant,
+                            remat=opt.remat)
         state = create_train_state(model, (1, 24, 24, 3), make_tx(), rng,
                                    ema_tau=total_steps)
         pixel_loss = "l1" if (opt.enchant or opt.L1_loss) else "mse"
@@ -137,7 +143,8 @@ def run_training(opt) -> None:
         from ..models.vgg import TruncatedVGG19, init_vgg_params
 
         model = SRGenerator(depth=opt.rs_deep, add_rate=opt.add_rate,
-                            scale=opt.scale, enchant=opt.enchant)
+                            scale=opt.scale, enchant=opt.enchant,
+                            remat=opt.remat)
         state = create_train_state(model, (1, 24, 24, 3), make_tx(), rng,
                                    ema_tau=total_steps)
         d_model = Discriminator(3, 64, 8, 1024)

@@ -93,13 +93,27 @@ class PatchLoader:
     mean: Tuple[float, float, float] = IMAGENET_MEAN
     std: Tuple[float, float, float] = IMAGENET_STD
 
-    def __init__(self, manifest: str | Path | Sequence[str], config: LoaderConfig):
+    def __init__(
+        self,
+        manifest: str | Path | Sequence[str],
+        config: LoaderConfig,
+        process_index: Optional[int] = None,
+        process_count: Optional[int] = None,
+    ):
         if isinstance(manifest, (str, Path)):
             self.samples = load_manifest(manifest)
         else:
             self.samples = list(manifest)
         if not self.samples:
             raise ValueError("empty manifest")
+        # Multi-host DP: each host loads a disjoint stripe of the manifest
+        # (pass jax.process_index()/jax.process_count(); defaults single-host).
+        if process_count and process_count > 1:
+            self.samples = self.samples[process_index or 0 :: process_count]
+            if not self.samples:
+                raise ValueError(
+                    f"manifest smaller than process_count={process_count}"
+                )
         self.config = config
         self.patch = ground_up(config.patch_size, max(config.scale, 1))
         self._epoch = 0

@@ -9,8 +9,6 @@ either by batch (data axis) or by image rows with halo exchange
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

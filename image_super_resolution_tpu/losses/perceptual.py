@@ -9,7 +9,7 @@ perceptual = content + beta * BCE(D(sr), 1) with beta = 1e-3.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

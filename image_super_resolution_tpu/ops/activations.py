@@ -8,7 +8,7 @@ a plain hashable spec: ``None``, a string name, or ``(name, param)``.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple, Union
+from typing import Tuple, Union
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,6 @@ the interconnect inside one XLA program.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable, Dict
 
 import jax

@@ -18,8 +18,7 @@ Phases mirror reference train.py wiring (SURVEY.md §2.6):
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Dict, Sequence, Tuple
+from typing import Callable, Dict, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -120,3 +120,16 @@ def test_downscale_shapes_and_methods():
         y = degrade.downscale(x, 4, method=method)
         assert y.shape == (1, 8, 8, 3)
         np.testing.assert_allclose(np.asarray(y), 1.0, atol=1e-5)
+
+
+def test_patch_loader_multihost_striping(image_dir, tmp_path):
+    """Each host gets a disjoint manifest stripe (multi-host DP input sharding)."""
+    train_json, _ = create_data_lists([image_dir], [image_dir], 32, tmp_path / "mh")
+    cfg = LoaderConfig(batch_size=1, patch_size=32, scale=2)
+    shards = [
+        PatchLoader(train_json, cfg, process_index=i, process_count=3).samples
+        for i in range(3)
+    ]
+    all_samples = sorted(s for shard in shards for s in shard)
+    assert all_samples == sorted(PatchLoader(train_json, cfg).samples)
+    assert not (set(shards[0]) & set(shards[1]))
