@@ -28,7 +28,8 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--model", type=str, required=True, help="deployed artifact (.isr)")
     parser.add_argument("--src", type=str, required=True)
     parser.add_argument("--save_dir", type=str, default="result.png")
-    parser.add_argument("--window_size", type=int, default=96)
+    parser.add_argument("--window_size", type=int, default=96,
+                        help="tile size; 0 = whole-image (untiled) inference")
     parser.add_argument("--batch_size", type=int, default=8)
     parser.add_argument("--worker", type=int, default=4, help="accepted for parity; unused")
     parser.add_argument("--overlap", type=int, default=8)

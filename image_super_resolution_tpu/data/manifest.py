@@ -69,6 +69,26 @@ def create_data_lists(
     return train_json, val_json
 
 
+def convert_image_to_png(image_file: str | Path, delete_original: bool = False) -> Path:
+    """Re-encode any readable image as PNG next to the original.
+
+    Counterpart of the reference's misleadingly-named ``convert_image_to_jpg``
+    (utils/general.py:116-126, which wrote PNG and DELETED the source);
+    deletion here is opt-in and off by default.
+    """
+    from PIL import Image
+
+    image_file = Path(image_file)
+    out = image_file.with_suffix(".png")
+    with Image.open(image_file) as im:
+        if im.mode in ("RGBA", "P", "L"):
+            im = im.convert("RGB")
+        im.save(out, format="PNG", compress_level=4)
+    if delete_original and out != image_file:
+        image_file.unlink()
+    return out
+
+
 def load_manifest(json_path: str | Path) -> List[str]:
     with open(Path(json_path)) as fh:
         samples = json.load(fh)

@@ -88,6 +88,60 @@ def rgb_to_bgr(x: jnp.ndarray) -> jnp.ndarray:
     return x[..., ::-1]
 
 
+def decode_prediction(x: jnp.ndarray) -> jnp.ndarray:
+    """Model output (auto-detected tanh [-1,1] or [0,1]) -> rounded [0,255].
+
+    Parity with the reference's Decode_tensor_from_predict
+    (utils/datasets.py:127-140), without its sticky first-call state: the
+    range is detected per call (jit-safe via where, no python branch)."""
+    is_tanh = jnp.min(x) < 0.0
+    x01 = jnp.where(is_tanh, (x + 1.0) / 2.0, x)
+    return jnp.round(jnp.clip(x01 * 255.0, 0.0, 255.0))
+
+
+def to_pil_images(tanh_batch) -> list:
+    """[-1,1] NHWC batch -> list of PIL images (reference Tanh2PIL,
+    utils/models.py:422-440). Host-side utility."""
+    from PIL import Image
+    import numpy as np
+
+    arr = np.asarray(tanh_to_uint8(jnp.asarray(tanh_batch)))
+    if arr.ndim == 3:
+        arr = arr[None]
+    return [Image.fromarray(frame) for frame in arr]
+
+
+def color_jitter(
+    rng,
+    x01: jnp.ndarray,
+    brightness: float = 0.2,
+    contrast: float = 0.2,
+    saturation: float = 0.2,
+    p: float = 0.5,
+) -> jnp.ndarray:
+    """Per-image probabilistic brightness/contrast/saturation jitter on an
+    NHWC [0,1] batch — on-device analog of the reference's (never-wired)
+    ColorJitter (utils/datasets.py:169-215), available as a training aug."""
+    import jax
+
+    n = x01.shape[0]
+    k_apply, k_b, k_c, k_s = jax.random.split(rng, 4)
+    apply = jax.random.uniform(k_apply, (n, 1, 1, 1)) <= p
+
+    def factor(key, strength):
+        return jax.random.uniform(
+            key, (n, 1, 1, 1), minval=1.0 - strength, maxval=1.0 + strength
+        )
+
+    y = x01 * factor(k_b, brightness)  # brightness
+    mean_lum = y.mean(axis=(1, 2, 3), keepdims=True)
+    y = (y - mean_lum) * factor(k_c, contrast) + mean_lum  # contrast
+    gray = y.mean(axis=-1, keepdims=True)
+    y = (y - gray) * factor(k_s, saturation) + gray  # saturation
+    y = jnp.clip(y, 0.0, 1.0)
+    return jnp.where(apply, y, x01)
+
+
 def y_channel(x01: jnp.ndarray, border: int = 4) -> jnp.ndarray:
     """ITU-R BT.601 luma from an NHWC [0,1] batch, cropping ``border`` px.
 

@@ -26,6 +26,8 @@ class TiledUpscaler:
         batch_size: int = 8,
         spatial_devices: int = 1,
     ):
+        """window=0 selects whole-image (untiled) inference — fastest when
+        the image fits HBM (no overlap recompute, one dispatch)."""
         self.deployed = deployed
         self.window = window
         self.overlap = overlap
@@ -47,6 +49,8 @@ class TiledUpscaler:
         """uint8 HWC RGB of any size -> uint8 HWC RGB."""
         if self._spatial_mesh is not None:
             return self._upscale_spatial(image_u8)
+        if self.window == 0:  # whole-image mode
+            return np.asarray(self.deployed(jnp.asarray(image_u8[None])))[0]
         return upscale_tiled(
             self.deployed, image_u8,
             window=self.window, overlap=self.overlap, batch_size=self.batch_size,

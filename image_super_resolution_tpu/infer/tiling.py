@@ -20,8 +20,9 @@ recompile-per-edge-tile shape. TPU-first redesign:
 from __future__ import annotations
 
 import math
-from typing import Callable, Iterator, List, Tuple
+from typing import Callable, Iterator, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -74,22 +75,23 @@ def upscale_tiled(
     )
     n_tiles = len(tiles)
 
-    # Process in fixed-size batches (pad the tail) -> one compiled shape.
-    outs: List[np.ndarray] = []
-    scale = None
-    for start in range(0, n_tiles, batch_size):
-        chunk = tiles[start : start + batch_size]
-        pad_n = batch_size - len(chunk)
-        if pad_n:
-            chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad_n, axis=0)])
-        out = np.asarray(apply_fn(jnp.asarray(chunk)))
-        if scale is None:
-            if out.shape[1] % window:
-                raise ValueError(f"non-integer scale: {out.shape[1]}/{window}")
-            scale = out.shape[1] // window
-        outs.append(out[: len(chunk) - pad_n if pad_n else batch_size])
-
-    out_tiles = np.concatenate(outs)
+    # Pad to a whole number of fixed-size batches -> one compiled tile shape,
+    # then map over all batches INSIDE one jit call (a single host dispatch
+    # per image instead of one per chunk — host round trips are ~34 ms in
+    # tunneled environments).
+    n_chunks = -(-n_tiles // batch_size)
+    pad_n = n_chunks * batch_size - n_tiles
+    if pad_n:
+        tiles = np.concatenate([tiles, np.repeat(tiles[-1:], pad_n, axis=0)])
+    chunks = jnp.asarray(tiles).reshape(n_chunks, batch_size, window, window,
+                                        tiles.shape[-1])
+    out_chunks = jax.lax.map(apply_fn, chunks)
+    out_tiles = np.asarray(out_chunks).reshape(
+        n_chunks * batch_size, *out_chunks.shape[2:]
+    )[:n_tiles]
+    if out_tiles.shape[1] % window:
+        raise ValueError(f"non-integer scale: {out_tiles.shape[1]}/{window}")
+    scale = out_tiles.shape[1] // window
     s = scale
     canvas = np.zeros((h * s, w * s, image.shape[2]), out_tiles.dtype)
     ov = overlap * s

@@ -134,3 +134,42 @@ def test_intersect_trees_partial_load():
     assert matched == 1 and total == 3
     np.testing.assert_array_equal(merged["a"]["k"], np.zeros((2, 2)))
     np.testing.assert_array_equal(merged["b"]["k"], np.zeros((4,)))  # shape mismatch kept
+
+
+def test_decode_prediction_autodetect():
+    tanh = jnp.asarray([[-1.0, 0.0, 1.0]])
+    np.testing.assert_array_equal(
+        np.asarray(T.decode_prediction(tanh)), [[0.0, 128.0, 255.0]]  # 127.5 -> 128 (half-even)
+    )
+    unit = jnp.asarray([[0.0, 0.5, 1.0]])
+    np.testing.assert_array_equal(
+        np.asarray(T.decode_prediction(unit)), [[0.0, 128.0, 255.0]]
+    )
+
+
+def test_color_jitter_applies_probabilistically():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0.2, 0.8, (8, 8, 8, 3)).astype(np.float32))
+    out_never = T.color_jitter(jax.random.PRNGKey(0), x, p=0.0)
+    np.testing.assert_array_equal(np.asarray(out_never), np.asarray(x))
+    out_always = T.color_jitter(jax.random.PRNGKey(0), x, p=1.0)
+    assert not np.allclose(np.asarray(out_always), np.asarray(x))
+    assert float(out_always.min()) >= 0.0 and float(out_always.max()) <= 1.0
+
+
+def test_to_pil_images():
+    x = jnp.zeros((2, 4, 4, 3)) - 1.0
+    imgs = T.to_pil_images(x)
+    assert len(imgs) == 2 and imgs[0].size == (4, 4)
+
+
+def test_convert_image_to_png(tmp_path):
+    from PIL import Image
+
+    from image_super_resolution_tpu.data.manifest import convert_image_to_png
+
+    src = tmp_path / "a.webp"
+    Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(src)
+    out = convert_image_to_png(src)
+    assert out.suffix == ".png" and out.exists()
+    assert src.exists(), "must not delete the original by default"
