@@ -54,6 +54,8 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--no_tensorboard", action="store_true")
     parser.add_argument("--remat", action="store_true",
                         help="rematerialize RRDB activations (bigger batches)")
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="capture a jax.profiler device trace of steps 2-4 here")
     return parser
 
 
@@ -203,11 +205,20 @@ def run_training(opt) -> None:
     if phase == "gan":
         d_state = jax.device_put(d_state, repl)
 
+    from ..utils.profiling import StepTimer, trace
+
     denoise_rng = jax.random.PRNGKey(opt.seed + 2)
+    timer = StepTimer()
+    profiler_ctx = None
+    global_step = 0
     for epoch in range(start_epoch, opt.epochs):
         loader.set_epoch(epoch)
         losses = []
         for batch in DevicePrefetcher(iter(loader), sharding=data_shard):
+            # Profile steps 2-4 (past compilation) when requested.
+            if opt.profile_dir and global_step == 2 and profiler_ctx is None:
+                profiler_ctx = trace(opt.profile_dir)
+                profiler_ctx.__enter__()
             if phase == "gan":
                 state, d_state, metrics = step_fn(state, d_state, batch)
                 losses.append(float(metrics["loss/content"]))
@@ -219,7 +230,16 @@ def run_training(opt) -> None:
                 state, metrics = step_fn(state, batch)
                 losses.append(float(metrics["loss"]))
             logger.scalars(metrics, int(state.step))
-        print(f"Epoch [{epoch}] mean loss {np.mean(losses):.5f}")
+            timer.tick()
+            global_step += 1
+            if profiler_ctx is not None and global_step == 5:
+                profiler_ctx.__exit__(None, None, None)
+                profiler_ctx = None
+                print(f"profiler trace written to {opt.profile_dir}")
+        logger.scalar("throughput/patches_per_sec",
+                      timer.patches_per_sec(opt.batch_size), int(state.step))
+        print(f"Epoch [{epoch}] mean loss {np.mean(losses):.5f} "
+              f"({timer.patches_per_sec(opt.batch_size):.1f} patches/s)")
 
         extra = None
         if phase == "gan":
@@ -240,6 +260,8 @@ def run_training(opt) -> None:
             logger.scalars({f"eval/{k}": v for k, v in agg.items()}, int(state.step))
             print(f"Eval [{epoch}] " + " ".join(f"{k}={v:.3f}" for k, v in agg.items()))
 
+    if profiler_ctx is not None:  # loop ended before step 5
+        profiler_ctx.__exit__(None, None, None)
     logger.close()
 
 

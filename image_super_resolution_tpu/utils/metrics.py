@@ -46,10 +46,13 @@ def ssim(a: jnp.ndarray, b: jnp.ndarray, max_val: float = 1.0) -> jnp.ndarray:
     kernel = jnp.tile(win, (1, 1, 1, ch))
 
     def filt(img):
+        # HIGHEST precision: TPU's default bf16 conv MACs make the variance
+        # terms (E[x^2]-E[x]^2) go negative and blow up the SSIM ratio.
         return jax.lax.conv_general_dilated(
             img, kernel, (1, 1), "VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             feature_group_count=ch,
+            precision=jax.lax.Precision.HIGHEST,
         )
 
     mu_a, mu_b = filt(a), filt(b)
