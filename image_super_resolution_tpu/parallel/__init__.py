@@ -8,6 +8,7 @@ from ..core.mesh import (
     spatial_sharding,
 )
 from .spatial import spatial_apply
+from .tensor import tp_conv
 
 __all__ = [
     "DATA_AXIS",
@@ -18,4 +19,5 @@ __all__ = [
     "replicated_sharding",
     "spatial_sharding",
     "spatial_apply",
+    "tp_conv",
 ]

@@ -195,3 +195,42 @@ def test_pixel_step_data_parallel_8_devices():
     # params stay replicated across the mesh
     leaf = jax.tree_util.tree_leaves(state.params)[0]
     assert leaf.sharding.is_fully_replicated
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    pytest.importorskip("orbax.checkpoint")
+    from image_super_resolution_tpu.train.orbax_io import (
+        load_checkpoint_orbax,
+        save_checkpoint_orbax,
+    )
+
+    state = make_state()
+    save_checkpoint_orbax(tmp_path / "ckpt", state, epoch=3, mean=[0.5] * 3,
+                          std=[0.2] * 3, loss_history=[1.0])
+    ckpt = load_checkpoint_orbax(tmp_path / "ckpt")
+    assert ckpt["meta"]["epoch"] == 3
+    fresh = make_state()
+    resumed, start_epoch = resume_state(fresh, ckpt, verbose=False)
+    assert start_epoch == 4
+    a = jax.tree_util.tree_leaves(state.params)[0]
+    b = jax.tree_util.tree_leaves(resumed.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+
+
+def test_tensor_parallel_conv_matches_single_device():
+    from image_super_resolution_tpu.core.mesh import make_mesh
+    from image_super_resolution_tpu.parallel.tensor import tp_conv
+
+    mesh = make_mesh(n_data=1, n_tile=4)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 16)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((3, 3, 16, 32)).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.standard_normal((32,)).astype(np.float32))
+
+    want = jax.lax.conv_general_dilated(
+        x, k, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + b
+    got = tp_conv(mesh)(x, k, b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
