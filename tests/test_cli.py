@@ -126,3 +126,39 @@ def test_graft_entry_multichip():
         g.dryrun_multichip(8)
     finally:
         sys.path.pop(0)
+
+
+def test_train_cli_accepts_every_reference_flag():
+    """Flag-surface parity: every flag of reference train.py:141-164 parses."""
+    from image_super_resolution_tpu.cli.train import build_parser
+
+    argv = [
+        "--resnet", "--scale", "4", "--train_denoise", "--worker", "2",
+        "--batch_size", "16", "--work_dir", "./", "--momentum", "0.999",
+        "--weight_decay", "0.0", "--lr", "1e-4", "--epochs", "300", "--dml",
+        "--mean", "--resume", "--L1_loss", "--rs_deep", "16", "--shape", "96",
+        "--save_name", "checkpoint", "--lr2", "0.01", "--seed", "100",
+        "--add_rate", "0.2", "--enchant", "--tpu",
+    ]
+    opt = build_parser().parse_args(argv)
+    assert opt.scale == 4 and opt.rs_deep == 16 and opt.enchant
+
+
+def test_rs_cli_accepts_every_reference_flag():
+    """Flag-surface parity with reference rs.py:118-124."""
+    from image_super_resolution_tpu.cli.rs import build_parser
+
+    opt = build_parser().parse_args([
+        "--model", "m.isr", "--src", "a.png", "--save_dir", "out.png",
+        "--window_size", "96", "--batch_size", "1", "--worker", "4",
+    ])
+    assert opt.window_size == 96 and opt.batch_size == 1
+
+
+def test_create_json_cli_accepts_reference_flags():
+    from image_super_resolution_tpu.cli.create_json import build_parser
+
+    opt = build_parser().parse_args(
+        ["--train_dirs", "a", "b", "--val_dirs", "c", "--shape", "96"]
+    )
+    assert opt.train_dirs == ["a", "b"] and opt.shape == 96
