@@ -71,7 +71,7 @@ def run_training(opt) -> None:
     import jax
     import jax.numpy as jnp
 
-    from ..core.mesh import batch_sharding, local_mesh, replicated_sharding
+    from ..core.mesh import batch_sharding, make_mesh, replicated_sharding
     from ..data.pipeline import DevicePrefetcher, LoaderConfig, PatchLoader
     from ..models import Denoiser, Discriminator, SRGenerator
     from ..train import (
@@ -113,7 +113,17 @@ def run_training(opt) -> None:
     print(f"Train: {len(loader.samples)} images, {steps_per_epoch} steps/epoch, "
           f"phase={phase}, devices={jax.device_count()}")
 
-    mesh = local_mesh()
+    # DP sharding needs batch_size % n_devices == 0. Rather than silently
+    # failing (or changing the user's batch size, which changes training
+    # dynamics), shrink the data mesh to the largest compatible device count.
+    import math
+
+    n_dev = jax.device_count()
+    n_data = math.gcd(opt.batch_size, n_dev)
+    if n_data != n_dev:
+        print(f"Train: batch_size={opt.batch_size} not divisible by {n_dev} "
+              f"devices; using a {n_data}-device data mesh")
+    mesh = make_mesh(n_data=n_data, n_tile=1)
     data_shard = batch_sharding(mesh)
     repl = replicated_sharding(mesh)
 
@@ -174,6 +184,15 @@ def run_training(opt) -> None:
                 to_dev = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
                 d_state = d_state.replace(params=to_dev(d_params),
                                           batch_stats=to_dev(d_stats))
+                if "d_opt_state" in ckpt:
+                    from flax import serialization as _ser
+
+                    d_state = d_state.replace(
+                        opt_state=_ser.from_state_dict(
+                            d_state.opt_state, ckpt["d_opt_state"]
+                        ),
+                        step=jnp.asarray(ckpt.get("d_step", 0), jnp.int32),
+                    )
         else:
             state = warm_start_generator(state, res_ckpt_path)
     elif opt.resume and ckpt_path.is_file():
@@ -192,7 +211,7 @@ def run_training(opt) -> None:
                          * 255.0, 0, 255)
             ).astype(np.uint8)
             logger.images("images/lr", lr_u8, idx)
-            if idx == 10:
+            if idx == 9:  # 10 batches, matching reference train.py:250-256
                 break
 
     print(f"Train: {opt.epochs} epochs, {n_params(state.params):,} parameters")
@@ -205,15 +224,20 @@ def run_training(opt) -> None:
     if phase == "gan":
         d_state = jax.device_put(d_state, repl)
 
-    from ..utils.profiling import StepTimer, trace
+    from ..utils.profiling import trace
 
     denoise_rng = jax.random.PRNGKey(opt.seed + 2)
-    timer = StepTimer()
     profiler_ctx = None
     global_step = 0
+    loss_key = "loss/content" if phase == "gan" else "loss"
     for epoch in range(start_epoch, opt.epochs):
         loader.set_epoch(epoch)
-        losses = []
+        # No per-step host syncs: steps are dispatched asynchronously and the
+        # device metrics (tiny scalars) are fetched ONCE at epoch end — each
+        # blocking float() costs a full host<->device round trip otherwise.
+        start_step = int(state.step)
+        pending = []
+        t0 = None
         for batch in DevicePrefetcher(iter(loader), sharding=data_shard):
             # Profile steps 2-4 (past compilation) when requested.
             if opt.profile_dir and global_step == 2 and profiler_ctx is None:
@@ -221,32 +245,64 @@ def run_training(opt) -> None:
                 profiler_ctx.__enter__()
             if phase == "gan":
                 state, d_state, metrics = step_fn(state, d_state, batch)
-                losses.append(float(metrics["loss/content"]))
             elif phase == "denoise":
                 denoise_rng, sub = jax.random.split(denoise_rng)
                 state, metrics = step_fn(state, batch, sub)
-                losses.append(float(metrics["loss"]))
             else:
                 state, metrics = step_fn(state, batch)
-                losses.append(float(metrics["loss"]))
-            logger.scalars(metrics, int(state.step))
-            timer.tick()
+            pending.append(metrics)
             global_step += 1
+            if t0 is None:  # time from first step dispatch (skips compile)
+                jax.block_until_ready(metrics)
+                import time as _time
+
+                t0 = _time.perf_counter()
             if profiler_ctx is not None and global_step == 5:
+                jax.block_until_ready(metrics)
                 profiler_ctx.__exit__(None, None, None)
                 profiler_ctx = None
                 print(f"profiler trace written to {opt.profile_dir}")
-        logger.scalar("throughput/patches_per_sec",
-                      timer.patches_per_sec(opt.batch_size), int(state.step))
+        if not pending:
+            raise RuntimeError(
+                "epoch produced zero training batches — the input pipeline is "
+                "broken (empty manifest or producer failure)"
+            )
+        # One fetch for the whole epoch; blocks until every step finished,
+        # which also makes the wall-clock throughput below honest.
+        fetched = jax.device_get(pending)
+        import time as _time
+
+        elapsed = max(_time.perf_counter() - t0, 1e-9)
+        patches_per_sec = (
+            (len(pending) - 1) * opt.batch_size / elapsed if len(pending) > 1
+            else opt.batch_size / elapsed
+        )
+        losses = [float(m[loss_key]) for m in fetched]
+        for i, m in enumerate(fetched):
+            logger.scalars(m, start_step + i + 1)
+        logger.scalar("throughput/patches_per_sec", patches_per_sec,
+                      int(state.step))
         print(f"Epoch [{epoch}] mean loss {np.mean(losses):.5f} "
-              f"({timer.patches_per_sec(opt.batch_size):.1f} patches/s)")
+              f"({patches_per_sec:.1f} patches/s)")
+        if not np.all(np.isfinite(losses)):
+            print("WARNING: non-finite loss encountered this epoch — "
+                  "check lr / data; checkpoint still saved")
 
         extra = None
         if phase == "gan":
+            from flax import serialization as _ser
+
             extra = {
                 "d_params": jax.device_get(d_state.params),
                 "d_batch_stats": jax.device_get(d_state.batch_stats),
             }
+            if epoch != opt.epochs - 1:
+                # Reference saved/restored optimizer_d too (train.py:339,379);
+                # without it a resumed D restarts its Adam moments + schedule.
+                extra["d_opt_state"] = jax.device_get(
+                    _ser.to_state_dict(d_state.opt_state)
+                )
+                extra["d_step"] = int(jax.device_get(d_state.step))
         save_checkpoint(
             ckpt_path, state, epoch, mean, std, losses,
             final=epoch == opt.epochs - 1, extra=extra,

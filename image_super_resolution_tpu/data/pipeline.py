@@ -154,7 +154,7 @@ class PatchLoader:
 
     def _load_patch(self, path: str, rng: np.random.Generator) -> np.ndarray:
         img = _read_rgb(path)
-        if img is None:  # unreadable at train time: substitute noise patch
+        if img is None:  # unreadable at train time: substitute a black patch
             return np.zeros((self.patch, self.patch, 3), np.uint8)
         return _random_crop(img, self.patch, rng)
 
@@ -259,6 +259,7 @@ class DevicePrefetcher:
         self._sharding = sharding
         self._q: "queue.Queue" = queue.Queue(maxsize=depth)
         self._done = object()
+        self._exc: Optional[BaseException] = None
         self._thread = threading.Thread(target=self._fill, daemon=True)
         self._thread.start()
 
@@ -269,6 +270,8 @@ class DevicePrefetcher:
                 if self._sharding is not None:
                     arr = jax.device_put(arr, self._sharding)
                 self._q.put(arr)
+        except BaseException as e:  # propagate to the consumer, never swallow
+            self._exc = e
         finally:
             self._q.put(self._done)
 
@@ -278,5 +281,11 @@ class DevicePrefetcher:
     def __next__(self):
         item = self._q.get()
         if item is self._done:
+            if self._exc is not None:
+                exc, self._exc = self._exc, None
+                raise RuntimeError(
+                    "DevicePrefetcher producer thread failed; training input "
+                    "stream is broken (see chained exception)"
+                ) from exc
             raise StopIteration
         return item

@@ -66,16 +66,19 @@ class TiledUpscaler:
         n_tile = self.spatial_devices
         halo = max(self.overlap, 8)
         h, w = image_u8.shape[:2]
-        # Pad rows so H divides the tile axis (band >= halo).
+        # Pad rows so H divides the tile axis (band > halo for reflect halos).
         band = -(-h // n_tile)
-        band = max(band, halo)
+        band = max(band, halo + 1)
         ph = band * n_tile
         padded = np.pad(
             image_u8, ((0, ph - h), (0, 0), (0, 0)), mode="reflect"
         )
         mean = tuple(float(v) for v in spec.mean)
         std = tuple(float(v) for v in spec.std)
-        model = spec.build_model()
+        # The module matching self.deployed.params' layout — the params are in
+        # the optimized scatter/tail-folded form when optimize=True, so
+        # rebuilding the standard graph here would mismatch (round-1 bug).
+        model = self.deployed.model
 
         def net_apply(params, u8):
             x = normalize(u8, mean, std)

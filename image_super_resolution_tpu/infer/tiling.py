@@ -20,7 +20,7 @@ recompile-per-edge-tile shape. TPU-first redesign:
 from __future__ import annotations
 
 import math
-from typing import Callable, Iterator, Tuple
+from typing import Callable, Iterator, List, Tuple
 
 import jax
 import jax.numpy as jnp

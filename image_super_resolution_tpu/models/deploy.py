@@ -111,6 +111,14 @@ class DeployedModel:
         return self._apply(self.params, u8_batch)
 
     @property
+    def model(self):
+        """The flax module whose layout matches ``self.params`` — the
+        OptimizedSRGenerator when ``optimize=True``, else the standard fused
+        graph. Use this (never ``spec.build_model()``) to apply
+        ``self.params`` manually, e.g. under a custom sharding."""
+        return self._model
+
+    @property
     def raw_apply(self) -> Callable:
         """(params, uint8) -> uint8, un-curried (for AOT export / sharding)."""
         return self._apply

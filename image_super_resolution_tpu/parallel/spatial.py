@@ -43,8 +43,8 @@ def spatial_apply(
     if image.shape[1] % n_tile:
         raise ValueError(f"H={image.shape[1]} not divisible by tile axis {n_tile}")
     band = image.shape[1] // n_tile
-    if halo > band:
-        raise ValueError(f"halo {halo} exceeds band height {band}")
+    if halo >= band:
+        raise ValueError(f"halo {halo} must be < band height {band}")
 
     def local_fn(params, x):
         # x: (N, band, W, C) local shard.
@@ -59,9 +59,10 @@ def spatial_apply(
         halo_from_below = jax.lax.ppermute(top_rows, TILE_AXIS, up)
 
         # Mesh edges receive zeros from ppermute; substitute reflect padding
-        # so border behavior matches single-chip 'same' conv + reflect tiling.
-        reflect_top = x[:, :halo][:, ::-1]
-        reflect_bottom = x[:, -halo:][:, ::-1]
+        # (np.pad mode='reflect' semantics, edge row excluded) so border
+        # behavior matches the single-chip reflect-tiled path bit-for-bit.
+        reflect_top = x[:, 1 : halo + 1][:, ::-1]
+        reflect_bottom = x[:, -halo - 1 : -1][:, ::-1]
         is_first = (idx == 0)
         is_last = (idx == n_tile - 1)
         halo_from_above = jnp.where(is_first, reflect_top, halo_from_above)

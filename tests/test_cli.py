@@ -39,6 +39,18 @@ COMMON = ["--epochs", "1", "--batch_size", "2", "--rs_deep", "1",
           "--shape", "48", "--worker", "2", "--no_tensorboard"]
 
 
+def _assert_really_trained(ckpt_path):
+    """Round-1 bug: train CLI could run ZERO steps (prefetcher swallowed a
+    sharding error) yet still write a checkpoint and exit 0. Assert the
+    checkpoint records steps > 0 and a finite loss history."""
+    from image_super_resolution_tpu.train import load_checkpoint
+
+    meta = load_checkpoint(ckpt_path)["meta"]
+    assert meta["step"] > 0, "checkpoint trained zero steps"
+    assert meta["loss"], "empty loss history"
+    assert np.all(np.isfinite(meta["loss"])), f"non-finite loss: {meta['loss']}"
+
+
 def test_cli_pixel_phase_then_export_then_rs(workspace):
     ws = workspace
     train_main([
@@ -48,6 +60,7 @@ def test_cli_pixel_phase_then_export_then_rs(workspace):
     ])
     ckpt = ws / "res_t_1_0.2.ckpt"
     assert ckpt.exists()
+    _assert_really_trained(ckpt)
 
     artifact = ws / "model.isr"
     export_main([
@@ -87,6 +100,7 @@ def test_cli_gan_phase_warm_start(workspace):
         "--work_dir", str(ws), *COMMON,
     ])
     assert (ws / "gen_t_1_0.2.ckpt").exists()
+    _assert_really_trained(ws / "gen_t_1_0.2.ckpt")
 
 
 def test_cli_denoise_phase(workspace):
@@ -98,6 +112,7 @@ def test_cli_denoise_phase(workspace):
     ])
     ckpt = ws / "denoise_t_1_0.2.ckpt"
     assert ckpt.exists()
+    _assert_really_trained(ckpt)
     artifact = ws / "denoise.isr"
     export_main([
         "--checkpoint", str(ckpt), "--out", str(artifact),
@@ -111,6 +126,22 @@ def test_cli_denoise_phase(workspace):
     from PIL import Image
 
     assert Image.open(ws / "dn.png").size == (80, 80)  # x1 contract
+
+
+def test_cli_rs_spatial_devices_on_default_artifact(workspace):
+    """rs --spatial_devices N on a default-exported (optimized) SR artifact —
+    the exact integration seam that crashed in round 1."""
+    ws = workspace
+    artifact = ws / "model.isr"
+    assert artifact.exists()  # produced by the pixel-phase test above
+    rs_main([
+        "--model", str(artifact), "--src", str(ws / "imgs" / "img_2.png"),
+        "--save_dir", str(ws / "sp.png"),
+        "--spatial_devices", "4", "--overlap", "8",
+    ])
+    from PIL import Image
+
+    assert Image.open(ws / "sp.png").size == (160, 160)
 
 
 def test_graft_entry_multichip():

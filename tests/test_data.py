@@ -133,3 +133,34 @@ def test_patch_loader_multihost_striping(image_dir, tmp_path):
     all_samples = sorted(s for shard in shards for s in shard)
     assert all_samples == sorted(PatchLoader(train_json, cfg).samples)
     assert not (set(shards[0]) & set(shards[1]))
+
+
+def test_device_prefetcher_reraises_producer_errors():
+    """Round-1 bug: a producer-thread failure (e.g. a device_put sharding
+    error) was swallowed, silently truncating the epoch to zero steps."""
+    from image_super_resolution_tpu.data.pipeline import DevicePrefetcher
+
+    def bad_stream():
+        yield np.zeros((2, 4, 4, 3), np.uint8)
+        raise ValueError("decoder exploded")
+
+    pf = DevicePrefetcher(bad_stream())
+    first = next(pf)
+    assert first.shape == (2, 4, 4, 3)
+    with pytest.raises(RuntimeError, match="producer thread failed"):
+        next(pf)
+
+
+def test_device_prefetcher_bad_sharding_fails_loudly():
+    """batch not divisible by device count + an explicit sharding must raise,
+    not end iteration (the exact zero-step repro from VERDICT weak #3)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from image_super_resolution_tpu.core.mesh import make_mesh
+    from image_super_resolution_tpu.data.pipeline import DevicePrefetcher
+
+    mesh = make_mesh(n_data=8, n_tile=1)
+    shard = NamedSharding(mesh, P("data"))
+    batches = iter([np.zeros((2, 4, 4, 3), np.uint8)])  # 2 % 8 != 0
+    with pytest.raises(RuntimeError, match="producer thread failed"):
+        next(DevicePrefetcher(batches, sharding=shard))

@@ -111,16 +111,67 @@ def test_spatial_apply_matches_single_device():
 
     mesh = make_mesh(n_data=1, n_tile=4)
     rng = np.random.default_rng(3)
-    image = jnp.asarray(rng.uniform(-1, 1, (1, 64, 32, 3)).astype(np.float32))
+    image = jnp.asarray(rng.uniform(-1, 1, (1, 80, 32, 3)).astype(np.float32))
 
     out_sp = np.asarray(spatial_apply(net_apply, params, image, mesh, halo=16, scale=2))
     out_single = np.asarray(net_apply(params, image))
-    assert out_sp.shape == out_single.shape == (1, 128, 64, 3)
+    assert out_sp.shape == out_single.shape == (1, 160, 64, 3)
     # identical away from the top/bottom borders (reflect halo vs conv zero-pad)
     r = 16 * 2
     np.testing.assert_allclose(
         out_sp[:, r:-r], out_single[:, r:-r], rtol=1e-5, atol=1e-5
     )
+
+
+def test_spatial_reflect_matches_whole_image_reflect_pad():
+    """Unified border convention (VERDICT #8): with halo >= the receptive
+    field, spatial_apply is equivalent to running the net once on the
+    np.pad(mode='reflect')-padded whole image and cropping — i.e. the spatial
+    path's mesh-edge halos now use true numpy reflect semantics."""
+    from image_super_resolution_tpu.core.mesh import make_mesh
+    from image_super_resolution_tpu.parallel.spatial import spatial_apply
+
+    model = SRGenerator(depth=1, width=8, scale=2, enchant=True, dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
+    params = variables["params"]
+
+    def net_apply(p, x):
+        return model.apply({"params": p}, x)
+
+    halo = 28  # > ~23 px receptive-field radius of the depth-1 net
+    mesh = make_mesh(n_data=1, n_tile=4)
+    rng = np.random.default_rng(7)
+    image = rng.uniform(-1, 1, (1, 120, 24, 3)).astype(np.float32)
+
+    out_sp = np.asarray(
+        spatial_apply(net_apply, params, jnp.asarray(image), mesh,
+                      halo=halo, scale=2)
+    )
+    padded = np.pad(image, ((0, 0), (halo, halo), (0, 0), (0, 0)),
+                    mode="reflect")
+    whole = np.asarray(net_apply(params, jnp.asarray(padded)))
+    want = whole[:, halo * 2 : (halo + 120) * 2]
+    np.testing.assert_allclose(out_sp, want, rtol=0, atol=1e-5)
+
+
+def test_spatial_engine_runs_optimized_artifact():
+    """Round-1 bug: TiledUpscaler's spatial path rebuilt the STANDARD graph
+    but applied the OPTIMIZED params (default export), crashing with
+    ScopeParamNotFoundError. It must use deployed.model and agree with
+    whole-image inference away from borders."""
+    from image_super_resolution_tpu.infer.engine import TiledUpscaler
+
+    deployed = small_deployed(scale=2, depth=1, width=8)
+    assert deployed.optimized  # the default export path — the one that broke
+    rng = np.random.default_rng(11)
+    image = rng.integers(0, 255, (96, 40, 3), dtype=np.uint8)
+
+    whole = TiledUpscaler(deployed, window=0).upscale_image(image)
+    sp = TiledUpscaler(deployed, overlap=28, spatial_devices=4).upscale_image(image)
+    assert sp.shape == whole.shape == (192, 80, 3)
+    r = 28 * 2  # borders differ: reflect halo vs conv zero-pad
+    diff = np.abs(sp[r:-r].astype(np.int32) - whole[r:-r].astype(np.int32))
+    assert int(diff.max()) <= 1
 
 
 def test_stablehlo_export_roundtrip(tmp_path):
