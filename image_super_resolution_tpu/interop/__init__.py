@@ -1,0 +1,25 @@
+"""Interop with reference PyTorch artifacts (TorchScript + training ckpts)."""
+
+from .torch_import import (
+    conv_kernel_to_flax,
+    import_denoiser_state,
+    import_discriminator_state,
+    import_generator_state,
+    import_legacy_denoiser_state,
+    import_torchscript_artifact,
+    linear_to_flax,
+    state_dict_from_reference_checkpoint,
+    torchscript_state_dict,
+)
+
+__all__ = [
+    "conv_kernel_to_flax",
+    "import_denoiser_state",
+    "import_discriminator_state",
+    "import_generator_state",
+    "import_legacy_denoiser_state",
+    "import_torchscript_artifact",
+    "linear_to_flax",
+    "state_dict_from_reference_checkpoint",
+    "torchscript_state_dict",
+]

@@ -56,3 +56,35 @@ class Denoiser(nn.Module):
         x = x + h
         x = ConvBlock(3, 9, act="tanh", use_bn=False, name="tail", **kw)(x, train)
         return x.astype(jnp.float32)
+
+
+class LegacyDenoiser(nn.Module):
+    """The OLDER Denoise revision baked into the reference's bundled
+    ``model.pt`` (dissected in SURVEY.md §2.7): 9x9 head -> ``depth`` x
+    ResidualBlock(width, hidden) -> 3x3 trunk conv -> global skip add ->
+    9x9 tanh tail. No down/up-sampling trunk, narrow (``hidden``-channel)
+    residual bottlenecks. Exists so reference-trained model.pt weights can be
+    imported bit-faithfully (interop/torch_import.py)."""
+
+    depth: int = 8
+    width: int = 64
+    hidden: int = 32
+    fused: bool = True  # model.pt ships BN-folded; unfused supported for training
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        act = ("leaky_relu", 0.2)
+        use_bn = not self.fused
+        x = x.astype(self.dtype)
+        x = ConvBlock(self.width, 9, act=act, use_bn=False, name="head", **kw)(x, train)
+        h = x
+        for i in range(self.depth):
+            h = ResidualBlock(self.width, self.hidden, 3, act=act, use_bn=use_bn,
+                              name=f"res{i}", **kw)(h, train)
+        h = ConvBlock(self.width, 3, act=None, use_bn=use_bn, name="trunk_conv", **kw)(h, train)
+        x = x + h
+        x = ConvBlock(3, 9, act="tanh", use_bn=False, name="tail", **kw)(x, train)
+        return x.astype(jnp.float32)

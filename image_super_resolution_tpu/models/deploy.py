@@ -40,7 +40,7 @@ from .generator import SRGenerator
 class DeploySpec:
     """Everything needed to rebuild the inference graph."""
 
-    family: str = "sr"  # "sr" | "denoise"
+    family: str = "sr"  # "sr" | "denoise" | "denoise_legacy"
     depth: int = 16
     width: int = 64
     add_rate: float = 0.2
@@ -48,10 +48,18 @@ class DeploySpec:
     enchant: bool = False
     mean: Tuple[float, float, float] = IMAGENET_MEAN
     std: Tuple[float, float, float] = IMAGENET_STD
+    hidden: int = 0  # denoise_legacy residual bottleneck width (0 = 32)
 
     def build_model(self, dtype=jnp.bfloat16):
         if self.family == "denoise":
             return Denoiser(depth=self.depth, width=self.width, fused=True, dtype=dtype)
+        if self.family == "denoise_legacy":
+            from .denoiser import LegacyDenoiser
+
+            return LegacyDenoiser(
+                depth=self.depth, width=self.width, hidden=self.hidden or 32,
+                fused=True, dtype=dtype,
+            )
         return SRGenerator(
             depth=self.depth,
             add_rate=self.add_rate,
@@ -64,7 +72,7 @@ class DeploySpec:
 
     @property
     def output_scale(self) -> int:
-        return 1 if self.family == "denoise" else self.scale
+        return 1 if self.family.startswith("denoise") else self.scale
 
 
 class DeployedModel:

@@ -1,0 +1,218 @@
+"""Interop: reference PyTorch artifacts load into the flax models and match
+numerically — the only available proof of architecture parity with REAL
+weights in this offline environment (VERDICT round-1 next #4).
+
+Two evidence tiers:
+- the bundled ``/root/reference/model.pt`` (a genuinely TRAINED denoiser) must
+  reproduce through the native uint8->uint8 deployment path within 1 LSB;
+- the live reference classes (ResNet / EResNet / Discriminator / Denoise),
+  instantiated with random weights, must match the flax twins' forward pass
+  after state-dict import (torchvision & co. are stubbed out: the reference
+  only needs them for VGG/datasets, not for these nets).
+"""
+
+from __future__ import annotations
+
+import sys
+import types
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+REF = Path("/root/reference")
+needs_ref = pytest.mark.skipif(not REF.exists(), reason="no reference checkout")
+
+
+@pytest.fixture(scope="module")
+def ref_models():
+    """Import the reference utils.models with its heavy deps stubbed."""
+    if not REF.exists():
+        pytest.skip("no reference checkout")
+    saved_path = list(sys.path)
+    saved_utils = {k: v for k, v in sys.modules.items() if k.split(".")[0] == "utils"}
+    for k in saved_utils:
+        del sys.modules[k]
+    sys.path.insert(0, str(REF))
+    # torchvision / utils.datasets are only needed for TruncatedVGG19 and the
+    # transform Modules — not for the nets under test.
+    stub_tv = types.ModuleType("torchvision")
+    fake_ds = types.ModuleType("utils.datasets")
+    fake_ds.Normalize = type("Normalize", (torch.nn.Module,), {})
+    injected = {}
+    for name, mod in (("torchvision", stub_tv), ("utils.datasets", fake_ds)):
+        if name not in sys.modules:
+            sys.modules[name] = mod
+            injected[name] = mod
+    try:
+        import utils.models as ref_models_mod
+
+        yield ref_models_mod
+    finally:
+        sys.path[:] = saved_path
+        for k in [k for k in sys.modules if k.split(".")[0] == "utils"]:
+            del sys.modules[k]
+        sys.modules.update(saved_utils)
+        for name in injected:
+            sys.modules.pop(name, None)
+
+
+def _torch_forward(net, x_nhwc: np.ndarray) -> np.ndarray:
+    with torch.no_grad():
+        y = net(torch.from_numpy(x_nhwc.transpose(0, 3, 1, 2).copy()))
+    return y.numpy().transpose(0, 2, 3, 1)
+
+
+def _sd(net) -> dict:
+    return {
+        k: v.detach().float().numpy() if v.dtype.is_floating_point
+        else v.detach().numpy()
+        for k, v in net.state_dict().items()
+    }
+
+
+# ------------------------------------------------------- bundled model.pt --
+
+@needs_ref
+def test_bundled_model_pt_uint8_parity():
+    """The reference's shipped TRAINED artifact reproduces within 1 LSB."""
+    from image_super_resolution_tpu.interop import import_torchscript_artifact
+
+    deployed, spec, params = import_torchscript_artifact(
+        REF / "model.pt", dtype=jnp.float32
+    )
+    assert spec.family == "denoise_legacy"
+    assert (spec.depth, spec.width, spec.hidden) == (8, 64, 32)
+    assert spec.mean == pytest.approx((0.485, 0.456, 0.406), abs=1e-6)
+
+    m = torch.jit.load(str(REF / "model.pt"), map_location="cpu")
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, 255, (2, 48, 48, 3), dtype=np.uint8)
+    with torch.no_grad():
+        want = m(torch.from_numpy(x.transpose(0, 3, 1, 2).copy())).numpy()
+    want = want.transpose(0, 2, 3, 1)
+    got = np.asarray(deployed(x))
+    diff = np.abs(got.astype(np.int32) - want.astype(np.int32))
+    assert int(diff.max()) <= 1
+    assert float((diff > 0).mean()) < 0.01  # only borderline-rounding pixels
+
+
+@needs_ref
+def test_import_torch_cli_roundtrip(tmp_path):
+    """model.pt -> import CLI -> .isr -> rs.py tiled inference end to end."""
+    from PIL import Image
+
+    from image_super_resolution_tpu.cli.import_torch import main as import_main
+    from image_super_resolution_tpu.cli.rs import main as rs_main
+
+    artifact = tmp_path / "legacy.isr"
+    import_main(["--src", str(REF / "model.pt"), "--out", str(artifact)])
+    assert artifact.exists()
+
+    rng = np.random.default_rng(1)
+    src = tmp_path / "in.png"
+    Image.fromarray(rng.integers(0, 255, (80, 80, 3), dtype=np.uint8)).save(src)
+    rs_main([
+        "--model", str(artifact), "--src", str(src),
+        "--save_dir", str(tmp_path / "out.png"),
+        "--window_size", "48", "--overlap", "8", "--batch_size", "2",
+    ])
+    assert Image.open(tmp_path / "out.png").size == (80, 80)  # x1 denoiser
+
+
+# --------------------------------------------------- live reference classes --
+
+@needs_ref
+def test_reference_resnet_imports_and_matches(ref_models):
+    from image_super_resolution_tpu.interop import import_generator_state
+    from image_super_resolution_tpu.models import SRGenerator
+
+    tnet = ref_models.ResNet(2, 0.2, 2).eval()
+    params, stats, cfg = import_generator_state(_sd(tnet))
+    assert cfg["depth"] == 2 and cfg["scale"] == 2 and not cfg["enchant"]
+
+    model = SRGenerator(depth=2, add_rate=0.2, scale=2, dtype=jnp.float32)
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((1, 16, 16, 3)).astype(np.float32)
+    want = _torch_forward(tnet, x)
+    got = np.asarray(
+        model.apply({"params": params, "batch_stats": stats}, jnp.asarray(x))
+    )
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+@needs_ref
+def test_reference_eresnet_imports_and_matches(ref_models):
+    from image_super_resolution_tpu.interop import import_generator_state
+    from image_super_resolution_tpu.models import SRGenerator
+
+    tnet = ref_models.EResNet(1, 0.2, 4).eval()
+    params, stats, cfg = import_generator_state(_sd(tnet))
+    assert cfg["enchant"] and cfg["scale"] == 4 and not stats
+
+    model = SRGenerator(depth=1, add_rate=0.2, scale=4, enchant=True,
+                        dtype=jnp.float32)
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((1, 12, 12, 3)).astype(np.float32)
+    want = _torch_forward(tnet, x)
+    got = np.asarray(model.apply({"params": params}, jnp.asarray(x)))
+    assert got.shape == (1, 48, 48, 3)
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+@needs_ref
+def test_reference_srgan_prefix_imports(ref_models):
+    """gen_*.pt checkpoints wrap the generator as SRGAN.res_net."""
+    from image_super_resolution_tpu.interop import import_generator_state
+    from image_super_resolution_tpu.models import SRGenerator
+
+    tnet = ref_models.SRGAN(1, 0.2, enchant=True, scaleRate=2).eval()
+    params, stats, cfg = import_generator_state(_sd(tnet), prefix="res_net.")
+    model = SRGenerator(depth=1, add_rate=0.2, scale=2, enchant=True,
+                        dtype=jnp.float32)
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((1, 12, 12, 3)).astype(np.float32)
+    want = _torch_forward(tnet, x)
+    got = np.asarray(model.apply({"params": params}, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+@needs_ref
+def test_reference_discriminator_imports_and_matches(ref_models):
+    from image_super_resolution_tpu.interop import import_discriminator_state
+    from image_super_resolution_tpu.models import Discriminator
+
+    tnet = ref_models.Discriminator(3, 8, 4, 16).eval()
+    params, stats = import_discriminator_state(_sd(tnet))
+    model = Discriminator(3, 8, 4, 16, dtype=jnp.float32)
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((2, 24, 24, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = tnet(torch.from_numpy(x.transpose(0, 3, 1, 2).copy())).numpy()
+    got = np.asarray(
+        model.apply({"params": params, "batch_stats": stats}, jnp.asarray(x))
+    )
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+@needs_ref
+def test_reference_denoise_imports_and_matches(ref_models):
+    from image_super_resolution_tpu.interop import import_denoiser_state
+    from image_super_resolution_tpu.models import Denoiser
+
+    tnet = ref_models.Denoise(4).eval()
+    params, stats, cfg = import_denoiser_state(_sd(tnet))
+    assert cfg["depth"] == 4 and not cfg["fused"]
+    model = Denoiser(depth=4, dtype=jnp.float32, fused=False)
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal((1, 16, 16, 3)).astype(np.float32)
+    want = _torch_forward(tnet, x)
+    got = np.asarray(
+        model.apply({"params": params, "batch_stats": stats}, jnp.asarray(x))
+    )
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
