@@ -165,8 +165,12 @@ def run_training(opt) -> None:
             jax.random.PRNGKey(opt.seed + 1), with_ema=False,
         )
         vgg = TruncatedVGG19(i=5, j=4, before_act=opt.enchant)
-        vgg_params = init_vgg_params(vgg, opt.vgg_weights)
-        perceptual = PerceptualLoss(vgg_params, before_act=opt.enchant)
+        vgg_params, vgg_loaded = init_vgg_params(vgg, opt.vgg_weights,
+                                                 with_status=True)
+        # Random-weight fallback: RMS-normalize features so loss/content has a
+        # reference-comparable magnitude (calibration measured in PERF.md).
+        perceptual = PerceptualLoss(vgg_params, before_act=opt.enchant,
+                                    feature_norm=not vgg_loaded)
         step_fn = make_gan_train_step(opt.scale, perceptual, mean, std)
 
     start_epoch = 0

@@ -135,14 +135,23 @@ def convert_torch_vgg19(state_dict_path: Union[str, Path], out_path: Union[str, 
 def init_vgg_params(
     model: TruncatedVGG19,
     weights_path: Optional[Union[str, Path]] = None,
-) -> Dict[str, Any]:
-    """Init (and optionally load) frozen VGG params."""
+    with_status: bool = False,
+):
+    """Init (and optionally load) frozen VGG params.
+
+    ``with_status=True`` returns ``(params, loaded)`` where ``loaded`` says
+    whether real ImageNet weights were found — callers use it to switch the
+    perceptual loss into its calibrated random-feature mode (PERF.md §random
+    VGG) when they were not.
+    """
     import jax
 
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 96, 96, 3)))["params"]
+    loaded = False
     if weights_path is not None and Path(weights_path).exists():
-        return load_vgg19_npz(weights_path, params)
-    if weights_path is not None:
+        params = load_vgg19_npz(weights_path, params)
+        loaded = True
+    elif weights_path is not None:
         warnings.warn(f"VGG weights {weights_path} not found; using random features")
     else:
         warnings.warn(
@@ -150,4 +159,4 @@ def init_vgg_params(
             "available). Perceptual loss is a structural proxy; pass "
             "--vgg_weights for parity with the reference."
         )
-    return params
+    return (params, loaded) if with_status else params

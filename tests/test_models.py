@@ -106,3 +106,39 @@ def test_vgg_truncation_shapes():
     out_pre = model_pre.apply(variables, jnp.ones((1, 96, 96, 3)))
     assert out_pre.shape == (1, 6, 6, 512)
     assert jnp.any(out_pre < 0)  # pre-activation features can be negative
+
+
+def test_perceptual_feature_norm_calibrates_content_magnitude():
+    """Random-VGG fallback: with feature_norm, loss/content is the RELATIVE
+    feature error (O(0.01-1) for plausible SR outputs), not an arbitrary
+    He-init-dependent scale (VERDICT round-1 next #6)."""
+    import jax
+
+    from image_super_resolution_tpu.losses.perceptual import PerceptualLoss
+    from image_super_resolution_tpu.models.vgg import TruncatedVGG19, init_vgg_params
+
+    vgg = TruncatedVGG19(i=2, j=1, dtype=jnp.float32)
+    with pytest.warns(UserWarning):
+        params, loaded = init_vgg_params(vgg, with_status=True)
+    assert not loaded
+
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    hr = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
+    sr = hr + 0.05 * jnp.asarray(rng.standard_normal(hr.shape), jnp.float32)
+    logits = jnp.zeros((2, 1))
+
+    plain = PerceptualLoss(params, vgg_i=2, vgg_j=1, dtype=jnp.float32)
+    calib = PerceptualLoss(params, vgg_i=2, vgg_j=1, feature_norm=True,
+                           dtype=jnp.float32)
+    _, _, c_plain = plain(sr, hr, logits)
+    _, _, c_calib = calib(sr, hr, logits)
+    # Calibrated content == plain content / mean(hr_feat^2) for the MSE flavor.
+    feats = calib.features(hr)
+    expect = float(c_plain) / float(jnp.mean(jnp.square(feats)) + 1e-6)
+    assert float(c_calib) == pytest.approx(expect, rel=1e-3)
+    assert 1e-4 < float(c_calib) < 10.0  # meaningful magnitude
+    # Gradients still flow through sr.
+    g = jax.grad(lambda s: calib(s, hr, logits)[0])(sr)
+    assert float(jnp.max(jnp.abs(g))) > 0
