@@ -25,6 +25,9 @@ def build_parser() -> argparse.ArgumentParser:
                         help="also export a serialized StableHLO program here")
     parser.add_argument("--hlo_shape", type=int, nargs=3, default=[1, 96, 96],
                         metavar=("N", "H", "W"), help="static shape for --stablehlo")
+    parser.add_argument("--hlo_dynamic", action="store_true",
+                        help="export --stablehlo with symbolic N/H/W dims (the "
+                             "analog of the reference's dynamic-axis ONNX)")
     parser.add_argument("--smoke", action="store_true",
                         help="run + time one forward after export")
     return parser
@@ -58,8 +61,10 @@ def main(argv=None) -> None:
 
     if opt.stablehlo:
         n, h, w = opt.hlo_shape
-        export_stablehlo(deployed, n, h, w, opt.stablehlo)
-        print(f"StableHLO program -> {opt.stablehlo}")
+        export_stablehlo(deployed, n, h, w, opt.stablehlo,
+                         polymorphic=opt.hlo_dynamic)
+        kind = "dynamic-shape" if opt.hlo_dynamic else f"{n}x{h}x{w}"
+        print(f"StableHLO program ({kind}) -> {opt.stablehlo}")
 
     if opt.smoke:
         import time

@@ -35,6 +35,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--overlap", type=int, default=8)
     parser.add_argument("--spatial_devices", type=int, default=1,
                         help="shard large images over N chips (halo exchange)")
+    parser.add_argument("--codec", type=str, default=None,
+                        help="ffmpeg video encoder (e.g. libx264, hevc_nvenc, "
+                             "hevc_vaapi); default libx264. Replaces the "
+                             "reference's platform-probed GPU encoder pick "
+                             "(utils/ffmpeg.py:45-52) — TPU hosts have no GPU, "
+                             "so the choice is explicit instead")
     return parser
 
 
@@ -52,6 +58,7 @@ def run(
     overlap: int = 8,
     worker: int = 4,
     spatial_devices: int = 1,
+    codec: str | None = None,
 ) -> Path:
     from ..infer.engine import TiledUpscaler
     from ..models.deploy import load_artifact
@@ -68,7 +75,8 @@ def run(
     out_path = Path(save_dir)
 
     if src_path.suffix.lower() in VID_FORMATS:
-        return _run_video(engine, deployed, src_path, out_path, batch_size)
+        return _run_video(engine, deployed, src_path, out_path, batch_size,
+                          codec=codec)
     return _run_image(engine, src_path, out_path)
 
 
@@ -96,7 +104,8 @@ def _run_image(engine, src: Path, out: Path) -> Path:
     return out
 
 
-def _run_video(engine, deployed, src: Path, out: Path, batch_size: int) -> Path:
+def _run_video(engine, deployed, src: Path, out: Path, batch_size: int,
+               codec: str | None = None) -> Path:
     from ..video.reader import VideoSource
     from ..video.recorder import FFMPEGRecorder
 
@@ -108,6 +117,7 @@ def _run_video(engine, deployed, src: Path, out: Path, batch_size: int) -> Path:
         str(out),
         video_dimensions=(source.width * scale, source.height * scale),
         fps=source.fps,
+        codec=codec,
     )
     n = 0
     for batch, n_valid in source.batches(batch_size):

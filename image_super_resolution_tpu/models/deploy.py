@@ -201,11 +201,23 @@ def export_stablehlo(
     height: int,
     width: int,
     out_path: str | Path,
+    polymorphic: bool = False,
 ) -> None:
-    """Serialize the compiled program (StableHLO bytes) via jax.export."""
+    """Serialize the compiled program (StableHLO bytes) via jax.export.
+
+    ``polymorphic=True`` exports with symbolic batch/height/width dims — the
+    jax.export analog of the reference's dynamic-H/W ONNX axes
+    (utils/models.py:803-812): one artifact serves any input size on any PJRT
+    runtime. Static shapes compile ahead-of-time and skip per-shape
+    specialization at load; pick per deployment.
+    """
     from jax import export as jax_export
 
     fn = jax.jit(lambda u8: deployed(u8))
-    spec = jax.ShapeDtypeStruct((batch, height, width, 3), jnp.uint8)
+    if polymorphic:
+        b, h, w = jax_export.symbolic_shape("b, h, w")
+        spec = jax.ShapeDtypeStruct((b, h, w, 3), jnp.uint8)
+    else:
+        spec = jax.ShapeDtypeStruct((batch, height, width, 3), jnp.uint8)
     exported = jax_export.export(fn)(spec)
     Path(out_path).write_bytes(exported.serialize())

@@ -188,3 +188,23 @@ def test_stablehlo_export_roundtrip(tmp_path):
     want = np.asarray(deployed(x))
     got = np.asarray(rebuilt.call(x))
     np.testing.assert_array_equal(got, want)
+
+
+def test_stablehlo_polymorphic_export_serves_any_shape(tmp_path):
+    """Dynamic-axis export (the reference's ONNX {2:'x',3:'x'} analog,
+    utils/models.py:803-812): one serialized program, any N/H/W."""
+    from jax import export as jax_export
+
+    from image_super_resolution_tpu.models.deploy import export_stablehlo
+
+    deployed = small_deployed(scale=2)
+    path = tmp_path / "model_dyn.hlo"
+    export_stablehlo(deployed, 1, 16, 16, path, polymorphic=True)
+    rebuilt = jax_export.deserialize(path.read_bytes())
+    rng = np.random.default_rng(0)
+    for shape in [(1, 16, 16, 3), (2, 24, 20, 3)]:
+        x = jnp.asarray(rng.integers(0, 255, shape, dtype=np.uint8))
+        got = np.asarray(rebuilt.call(x))
+        want = np.asarray(deployed(x))
+        assert got.shape == (shape[0], shape[1] * 2, shape[2] * 2, 3)
+        np.testing.assert_array_equal(got, want)
