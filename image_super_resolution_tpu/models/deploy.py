@@ -91,16 +91,18 @@ class DeployedModel:
         fused_params: Dict[str, Any],
         dtype=jnp.bfloat16,
         optimize: bool = True,
+        wino_m: int = 0,
     ):
         self.spec = spec
         self.optimized = bool(optimize and spec.family == "sr" and spec.scale in (2, 4))
         if self.optimized:
             from .optimized import OptimizedSRGenerator, optimize_generator_params
 
-            self.params = optimize_generator_params(fused_params)
+            self.params = optimize_generator_params(fused_params, wino_m=wino_m)
             self._model = OptimizedSRGenerator(
                 depth=spec.depth, add_rate=spec.add_rate, scale=spec.scale,
-                width=spec.width, enchant=spec.enchant, dtype=dtype,
+                width=spec.width, enchant=spec.enchant, wino_m=wino_m,
+                dtype=dtype,
             )
         else:
             self.params = fused_params

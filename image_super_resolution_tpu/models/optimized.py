@@ -37,6 +37,7 @@ class ScatterRRDB(nn.Module):
 
     features: int = 64
     add_rate: float = 0.2
+    wino_m: int = 0
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -45,7 +46,7 @@ class ScatterRRDB(nn.Module):
         for j in range(3):
             h = ScatterRDB(
                 self.features, ("leaky_relu", 0.01), self.add_rate,
-                dtype=self.dtype, name=f"rdb{j}",
+                wino_m=self.wino_m, dtype=self.dtype, name=f"rdb{j}",
             )(h)
         return h * jnp.asarray(self.add_rate, x.dtype) + x
 
@@ -76,6 +77,7 @@ class OptimizedSRGenerator(nn.Module):
     scale: int = 2
     width: int = 64
     enchant: bool = False
+    wino_m: int = 0  # 0 = direct conv; 2 = Winograd F(2,3) trunk convs
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
 
@@ -89,8 +91,8 @@ class OptimizedSRGenerator(nn.Module):
         x = ConvBlock(self.width, 9, act=head_act, use_bn=False, name="head", **kw)(x)
         h = x
         for i in range(self.depth):
-            h = ScatterRRDB(self.width, self.add_rate, dtype=self.dtype,
-                            name=f"rrdb{i}")(h)
+            h = ScatterRRDB(self.width, self.add_rate, wino_m=self.wino_m,
+                            dtype=self.dtype, name=f"rrdb{i}")(h)
         h = ConvBlock(self.width, 3, act=None, use_bn=False, name="trunk_conv", **kw)(h)
         x = x + h
         # all but the last x2 stage run in full (conv -> d2s -> act)
@@ -105,13 +107,13 @@ class OptimizedSRGenerator(nn.Module):
         return pixel_shuffle(x, 2).astype(jnp.float32)
 
 
-def optimize_generator_params(fused: Dict[str, Any]) -> Dict[str, Any]:
+def optimize_generator_params(fused: Dict[str, Any], wino_m: int = 0) -> Dict[str, Any]:
     """Fused standard SRGenerator params -> OptimizedSRGenerator params."""
     out: Dict[str, Any] = {}
     for name, node in fused.items():
         if name.startswith("rrdb"):
             out[name] = {
-                rdb_name: rdb_params_to_scatter(rdb_node)
+                rdb_name: rdb_params_to_scatter(rdb_node, wino_m=wino_m)
                 for rdb_name, rdb_node in node.items()
             }
         elif name == "tail":

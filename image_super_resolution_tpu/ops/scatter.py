@@ -47,11 +47,18 @@ def _conv(x: jnp.ndarray, kernel: jnp.ndarray, bias=None) -> jnp.ndarray:
 
 
 class ScatterRDB(nn.Module):
-    """Inference-only scatter-form RDB. Params: sx/s0/s1/s2/s3 kernels + bias."""
+    """Inference-only scatter-form RDB. Params: sx/s0/s1/s2/s3 kernels + bias.
+
+    ``wino_m > 0`` switches the five convs to Winograd F(wino_m, 3)
+    (ops/winograd.py); the kernels are then stored in the Winograd domain
+    (shape (t, t, Cin, Cout)), transformed once by
+    ``rdb_params_to_scatter(wino_m=...)``.
+    """
 
     features: int = 64
     act: ActSpec = ("leaky_relu", 0.01)
     add_rate: float = 0.2
+    wino_m: int = 0
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -59,33 +66,44 @@ class ScatterRDB(nn.Module):
         c = self.features
         g = c // 2
         init = nn.initializers.normal(0.02)
-        sx = self.param("sx", init, (3, 3, c, 4 * g + c))
-        s0 = self.param("s0", init, (3, 3, g, 3 * g + c))
-        s1 = self.param("s1", init, (3, 3, g, 2 * g + c))
-        s2 = self.param("s2", init, (3, 3, g, g + c))
-        s3 = self.param("s3", init, (3, 3, g, c))
+        if self.wino_m:
+            from .winograd import winograd_conv3x3
+
+            t = self.wino_m + 2
+            kshape = lambda ci, co: (t, t, ci, co)
+            conv = lambda v, k, b=None: winograd_conv3x3(
+                v, k, b, m=self.wino_m, dtype=self.dtype
+            )
+        else:
+            kshape = lambda ci, co: (3, 3, ci, co)
+            conv = _conv
+        sx = self.param("sx", init, kshape(c, 4 * g + c))
+        s0 = self.param("s0", init, kshape(g, 3 * g + c))
+        s1 = self.param("s1", init, kshape(g, 2 * g + c))
+        s2 = self.param("s2", init, kshape(g, g + c))
+        s3 = self.param("s3", init, kshape(g, c))
         bias = self.param("bias", nn.initializers.zeros, (4 * g + c,))
 
-        cx = _conv(x, sx, bias)
+        cx = conv(x, sx, bias)
         y0 = apply_act(cx[..., :g], self.act)
-        c0 = _conv(y0, s0)
+        c0 = conv(y0, s0)
         y1 = apply_act(cx[..., g:2 * g] + c0[..., :g], self.act)
-        c1 = _conv(y1, s1)
+        c1 = conv(y1, s1)
         y2 = apply_act(cx[..., 2 * g:3 * g] + c0[..., g:2 * g] + c1[..., :g], self.act)
-        c2 = _conv(y2, s2)
+        c2 = conv(y2, s2)
         y3 = apply_act(
             cx[..., 3 * g:4 * g] + c0[..., 2 * g:3 * g] + c1[..., g:2 * g]
             + c2[..., :g],
             self.act,
         )
-        c3 = _conv(y3, s3)
+        c3 = conv(y3, s3)
         fuse = (
             cx[..., 4 * g:] + c0[..., 3 * g:] + c1[..., 2 * g:] + c2[..., g:] + c3
         )
         return fuse * jnp.asarray(self.add_rate, x.dtype) + x
 
 
-def rdb_params_to_scatter(rdb: Dict[str, Any]) -> Dict[str, Any]:
+def rdb_params_to_scatter(rdb: Dict[str, Any], wino_m: int = 0) -> Dict[str, Any]:
     """Fused standard-RDB params -> ScatterRDB params.
 
     Input layout (ops/blocks.RDB with use_bn folded away):
@@ -115,4 +133,12 @@ def rdb_params_to_scatter(rdb: Dict[str, Any]) -> Dict[str, Any]:
     s2 = jnp.concatenate([rows(k[3], 2), rows(kf, 2)], axis=3)
     s3 = rows(kf, 3)
     bias = jnp.concatenate([b[0], b[1], b[2], b[3], bf])
-    return {"sx": sx, "s0": s0, "s1": s1, "s2": s2, "s3": s3, "bias": bias}
+    out = {"sx": sx, "s0": s0, "s1": s1, "s2": s2, "s3": s3, "bias": bias}
+    if wino_m:
+        from .winograd import transform_kernel
+
+        out = {
+            k: transform_kernel(v, wino_m) if k != "bias" else v
+            for k, v in out.items()
+        }
+    return out

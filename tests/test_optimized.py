@@ -90,3 +90,22 @@ def test_deployed_model_optimized_end_to_end():
     b = np.asarray(fast(x)).astype(np.int32)
     assert np.abs(a - b).max() <= 1  # float reassociation can flip a rounding
     assert (a != b).mean() < 0.02
+
+
+def test_winograd_optimized_generator_bit_exact_fp32():
+    """wino_m=2 (Winograd trunk convs) through the FULL optimized deployment
+    graph is bit-identical to the direct-conv optimized graph in fp32 after
+    uint8 decode."""
+    spec = DeploySpec(family="sr", depth=2, width=64, scale=4)
+    model = spec.build_model(dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
+    x = jnp.asarray(
+        np.random.default_rng(0).integers(0, 255, (1, 24, 24, 3), dtype=np.uint8)
+    )
+    base = np.asarray(
+        DeployedModel(spec, variables["params"], dtype=jnp.float32)(x)
+    ).astype(np.int32)
+    wino = np.asarray(
+        DeployedModel(spec, variables["params"], dtype=jnp.float32, wino_m=2)(x)
+    ).astype(np.int32)
+    assert int(np.abs(base - wino).max()) == 0
