@@ -56,6 +56,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="rematerialize RRDB activations (bigger batches)")
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="capture a jax.profiler device trace of steps 2-4 here")
+    parser.add_argument("--ckpt_every", type=int, default=1,
+                        help="epochs between checkpoint saves (reference "
+                             "saves every epoch; raise this when epochs are "
+                             "short — each GAN save fetches the full D state)")
     return parser
 
 
@@ -292,25 +296,28 @@ def run_training(opt) -> None:
             print("WARNING: non-finite loss encountered this epoch — "
                   "check lr / data; checkpoint still saved")
 
-        extra = None
-        if phase == "gan":
-            from flax import serialization as _ser
+        final = epoch == opt.epochs - 1
+        if final or (epoch + 1) % max(opt.ckpt_every, 1) == 0:
+            extra = None
+            if phase == "gan":
+                from flax import serialization as _ser
 
-            extra = {
-                "d_params": jax.device_get(d_state.params),
-                "d_batch_stats": jax.device_get(d_state.batch_stats),
-            }
-            if epoch != opt.epochs - 1:
-                # Reference saved/restored optimizer_d too (train.py:339,379);
-                # without it a resumed D restarts its Adam moments + schedule.
-                extra["d_opt_state"] = jax.device_get(
-                    _ser.to_state_dict(d_state.opt_state)
-                )
-                extra["d_step"] = int(jax.device_get(d_state.step))
-        save_checkpoint(
-            ckpt_path, state, epoch, mean, std, losses,
-            final=epoch == opt.epochs - 1, extra=extra,
-        )
+                extra = {
+                    "d_params": jax.device_get(d_state.params),
+                    "d_batch_stats": jax.device_get(d_state.batch_stats),
+                }
+                if not final:
+                    # Reference saved/restored optimizer_d too
+                    # (train.py:339,379); without it a resumed D restarts its
+                    # Adam moments + schedule.
+                    extra["d_opt_state"] = jax.device_get(
+                        _ser.to_state_dict(d_state.opt_state)
+                    )
+                    extra["d_step"] = int(jax.device_get(d_state.step))
+            save_checkpoint(
+                ckpt_path, state, epoch, mean, std, losses,
+                final=final, extra=extra,
+            )
 
         if eval_fn is not None and eval_loader is not None and (
             (epoch + 1) % opt.eval_every == 0

@@ -49,6 +49,23 @@ def _to_fp16(tree: Any) -> Any:
     )
 
 
+def _fetch_fp16(tree: Any) -> Any:
+    """device tree -> host fp16 numpy, casting ON DEVICE first.
+
+    The checkpoint stores fp16 anyway (reference .half() parity); casting
+    before the fetch halves the host<->device wire traffic — significant
+    through a ~34 ms-RTT PJRT relay where per-epoch GAN saves move hundreds
+    of MB (measured ~80 s/epoch fetched fp32, PERF.md).
+    """
+    casted = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.float16)
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+        else x,
+        tree,
+    )
+    return jax.tree_util.tree_map(np.asarray, jax.device_get(casted))
+
+
 def _to_fp32(tree: Any) -> Any:
     return jax.tree_util.tree_map(
         lambda x: x.astype(np.float32)
@@ -69,8 +86,8 @@ def save_checkpoint(
     extra: Optional[Dict[str, Any]] = None,
 ) -> None:
     payload: Dict[str, Any] = {
-        "params": _to_fp16(jax.device_get(state.params)),
-        "batch_stats": _to_fp16(jax.device_get(state.batch_stats)),
+        "params": _fetch_fp16(state.params),
+        "batch_stats": _fetch_fp16(state.batch_stats),
         "meta": json.dumps(
             {
                 "epoch": int(epoch),
@@ -82,10 +99,11 @@ def save_checkpoint(
         ),
     }
     if state.ema is not None:
-        payload["ema_params"] = _to_fp16(jax.device_get(state.ema.params))
-        payload["ema_batch_stats"] = _to_fp16(jax.device_get(state.ema.batch_stats))
+        payload["ema_params"] = _fetch_fp16(state.ema.params)
+        payload["ema_batch_stats"] = _fetch_fp16(state.ema.batch_stats)
         payload["ema_updates"] = int(jax.device_get(state.ema.updates))
     if not final:  # reference drops optimizer state on the last epoch
+        # Optimizer moments stay fp32: Adam's second moment underflows fp16.
         payload["opt_state"] = jax.device_get(
             serialization.to_state_dict(state.opt_state)
         )

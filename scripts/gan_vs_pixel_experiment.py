@@ -27,7 +27,7 @@ from pathlib import Path
 import numpy as np
 
 
-def make_dataset(root: Path, n_train: int = 24, n_val: int = 6, size: int = 128):
+def make_dataset(root: Path, n_train: int = 240, n_val: int = 8, size: int = 128):
     """Sharp-edge synthetic images: rectangles, lines, and gradients —
     content with actual high-frequency structure for x2 SR to recover."""
     from PIL import Image
@@ -57,8 +57,8 @@ def make_dataset(root: Path, n_train: int = 24, n_val: int = 6, size: int = 128)
 def run(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--workdir", type=str, default="/tmp/gan_vs_pixel")
-    parser.add_argument("--e1", type=int, default=300, help="pixel pretrain epochs")
-    parser.add_argument("--e2", type=int, default=200, help="extra phase epochs")
+    parser.add_argument("--e1", type=int, default=80, help="pixel pretrain epochs")
+    parser.add_argument("--e2", type=int, default=50, help="extra phase epochs")
     parser.add_argument("--depth", type=int, default=2)
     opt = parser.parse_args(argv)
 
@@ -72,7 +72,7 @@ def run(argv=None):
     ws.mkdir(parents=True)
     make_dataset(ws)
     common = ["--scale", "2", "--rs_deep", str(opt.depth), "--shape", "48",
-              "--batch_size", "16", "--save_name", "x",
+              "--batch_size", "16", "--save_name", "x", "--ckpt_every", "25",
               "--train_json", str(ws / "train_images.json"),
               "--no_tensorboard", "--worker", "4"]
 
@@ -96,10 +96,15 @@ def run(argv=None):
     tr(["--epochs", str(opt.e2), "--work_dir", str(gan_dir), *common])
     results["B_gan_random_vgg"] = evaluate(f"gan/gen_x_{opt.depth}_0.2.ckpt", "b")
 
-    # C: pixel-only control for the same extra epochs.
-    tr(["--resnet", "--resume", "--epochs", str(opt.e1 + opt.e2),
-        "--work_dir", str(ws), *common])
-    results["C_pixel_control"] = evaluate(f"res_x_{opt.depth}_0.2.ckpt", "c")
+    # C: pixel-only control — same warm start, same extra epochs as B
+    # (--resume on a FINAL checkpoint restores params but not the optimizer,
+    # exactly like B's warm start, so the comparison is symmetric).
+    ctl_dir = ws / "control"
+    ctl_dir.mkdir()
+    shutil.copy(ws / f"res_x_{opt.depth}_0.2.ckpt", ctl_dir)
+    tr(["--resnet", "--resume", "--epochs", str(opt.e2),
+        "--work_dir", str(ctl_dir), *common])
+    results["C_pixel_control"] = evaluate(f"control/res_x_{opt.depth}_0.2.ckpt", "c")
 
     # Content-loss magnitude with the calibrated random-VGG features.
     contents = []
