@@ -1,18 +1,22 @@
 #!/usr/bin/env python
 """Microbench: Winograd F(2,3)/F(4,3) vs XLA direct conv at serving shapes.
 
-Methodology per PERF.md: chain K iterations in one jitted lax.scan over K
-DISTINCT inputs with a carried checksum (prevents LICM hoisting), fetch the
-scalar, difference two chain lengths to cancel the relay round trip.
+Uses the long-chain pool harness (scripts/_bench_util.py) — early short-chain
+timings were jitter-dominated through the PJRT relay.
+
+Run: PYTHONPATH="/root/repo:$PYTHONPATH" python scripts/bench_winograd.py
 """
 
 from __future__ import annotations
 
-import time
+import sys
+from pathlib import Path
 
-import jax
 import jax.numpy as jnp
 import numpy as np
+
+sys.path.insert(0, str(Path(__file__).parent))
+from _bench_util import pick_iters, timed_chain_pool  # noqa: E402
 
 from image_super_resolution_tpu.ops.winograd import (
     direct_conv3x3,
@@ -21,36 +25,9 @@ from image_super_resolution_tpu.ops.winograd import (
 )
 
 
-def timed_chain(fn, xs, k):
-    """fn(x) -> array; xs: (K, ...) distinct inputs. Returns seconds for k iters."""
-
-    @jax.jit
-    def run(xs):
-        def body(acc, x):
-            y = fn(x)
-            return acc + jnp.sum(y.astype(jnp.float32)), None
-
-        acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), xs[:k])
-        return acc
-
-    run(xs)  # compile+warm
-    float(run(xs))
-    t0 = time.perf_counter()
-    s = float(run(xs))
-    dt = time.perf_counter() - t0
-    assert np.isfinite(s)
-    return dt
-
-
-def bench(fn, xs, k1=8, k2=24):
-    t1 = timed_chain(fn, xs, k1)
-    t2 = timed_chain(fn, xs, k2)
-    return (t2 - t1) / (k2 - k1)
-
-
 def main():
     rng = np.random.default_rng(0)
-    B, T = 256, 24
+    B, T, P = 256, 24, 4
     shapes = [(64, 192), (32, 160), (32, 128), (32, 96), (32, 64)]
     print(f"batch {B}, tile {T}x{T}, dtype bf16 (fp32 accum)")
     print(f"{'shape':>12} {'direct ms':>10} {'F(2,3) ms':>10} {'F(4,3) ms':>10} "
@@ -58,16 +35,17 @@ def main():
     total_d = total_w2 = total_w4 = 0.0
     for cin, cout in shapes:
         xs = jnp.asarray(
-            rng.standard_normal((24, B, T, T, cin)), jnp.bfloat16
+            rng.standard_normal((P, B, T, T, cin)), jnp.bfloat16
         )
         w = jnp.asarray(rng.standard_normal((3, 3, cin, cout)) * 0.05, jnp.float32)
         b = jnp.zeros((cout,), jnp.float32)
         w2 = transform_kernel(w, 2)
         w4 = transform_kernel(w, 4)
 
-        td = bench(lambda x: direct_conv3x3(x, w, b), xs)
-        t2 = bench(lambda x: winograd_conv3x3(x, w2, b, m=2), xs)
-        t4 = bench(lambda x: winograd_conv3x3(x, w4, b, m=4), xs)
+        it = pick_iters(0.3)
+        td = timed_chain_pool(lambda x: direct_conv3x3(x, w, b), xs, it)
+        t2 = timed_chain_pool(lambda x: winograd_conv3x3(x, w2, b, m=2), xs, it)
+        t4 = timed_chain_pool(lambda x: winograd_conv3x3(x, w4, b, m=4), xs, it)
         total_d += td
         total_w2 += t2
         total_w4 += t4
