@@ -92,17 +92,22 @@ class DeployedModel:
         dtype=jnp.bfloat16,
         optimize: bool = True,
         wino_m: int = 0,
+        tail_fold: int = 0,  # 0 = auto (2 for x4, 1 for x2)
     ):
         self.spec = spec
         self.optimized = bool(optimize and spec.family == "sr" and spec.scale in (2, 4))
         if self.optimized:
             from .optimized import OptimizedSRGenerator, optimize_generator_params
 
-            self.params = optimize_generator_params(fused_params, wino_m=wino_m)
+            if tail_fold == 0:
+                tail_fold = 2 if spec.scale == 4 else 1
+            self.params = optimize_generator_params(
+                fused_params, wino_m=wino_m, tail_fold=tail_fold
+            )
             self._model = OptimizedSRGenerator(
                 depth=spec.depth, add_rate=spec.add_rate, scale=spec.scale,
                 width=spec.width, enchant=spec.enchant, wino_m=wino_m,
-                dtype=dtype,
+                tail_fold=tail_fold, dtype=dtype,
             )
         else:
             self.params = fused_params

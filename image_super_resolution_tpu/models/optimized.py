@@ -69,6 +69,22 @@ class _DeferredShuffleUp(nn.Module):
         return apply_act(x, ("leaky_relu", 0.01))
 
 
+class _StridedTail(nn.Module):
+    """6x6 stride-2 conv — the double-folded x4 tail (ops/fold_tail.py)."""
+
+    features: int
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return nn.Conv(
+            features=self.features, kernel_size=(6, 6), strides=(2, 2),
+            padding=((2, 2), (2, 2)), dtype=self.dtype,
+            param_dtype=self.param_dtype, name="conv",
+        )(x)
+
+
 class OptimizedSRGenerator(nn.Module):
     """Fused, scatter-form, tail-folded generator. Inference only."""
 
@@ -78,6 +94,7 @@ class OptimizedSRGenerator(nn.Module):
     width: int = 64
     enchant: bool = False
     wino_m: int = 0  # 0 = direct conv; 2 = Winograd F(2,3) trunk convs
+    tail_fold: int = 1  # 1 = fold through last shuffle; 2 = both (x4 only)
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
 
@@ -102,13 +119,25 @@ class OptimizedSRGenerator(nn.Module):
                           name=f"up{i}", **kw)(x)
         # last stage: conv + act at pre-shuffle resolution (act commutes w/ d2s)
         x = _DeferredShuffleUp(self.width, name=f"up{n_stages - 1}", **kw)(x)
+        if self.tail_fold == 2:
+            if self.scale != 4:
+                raise ValueError("tail_fold=2 needs two x2 stages (scale 4)")
+            # tail folded through BOTH shuffles: 6x6 stride-2 at quarter
+            # resolution, 48 outputs (ops/fold_tail.fold_tail_params_x4)
+            x = _StridedTail(48, name="tail_folded2", **kw)(x)
+            x = apply_act(x, "tanh")
+            return pixel_shuffle(pixel_shuffle(x, 2), 2).astype(jnp.float32)
         # folded tail: 5x5, width*4 -> 12, then tanh, then the deferred shuffle
         x = ConvBlock(12, 5, act="tanh", use_bn=False, name="tail_folded", **kw)(x)
         return pixel_shuffle(x, 2).astype(jnp.float32)
 
 
-def optimize_generator_params(fused: Dict[str, Any], wino_m: int = 0) -> Dict[str, Any]:
+def optimize_generator_params(
+    fused: Dict[str, Any], wino_m: int = 0, tail_fold: int = 1
+) -> Dict[str, Any]:
     """Fused standard SRGenerator params -> OptimizedSRGenerator params."""
+    from ..ops.fold_tail import fold_tail_params_x4
+
     out: Dict[str, Any] = {}
     for name, node in fused.items():
         if name.startswith("rrdb"):
@@ -117,7 +146,10 @@ def optimize_generator_params(fused: Dict[str, Any], wino_m: int = 0) -> Dict[st
                 for rdb_name, rdb_node in node.items()
             }
         elif name == "tail":
-            out["tail_folded"] = fold_tail_params(node)
+            if tail_fold == 2:
+                out["tail_folded2"] = fold_tail_params_x4(node)
+            else:
+                out["tail_folded"] = fold_tail_params(node)
         else:
             out[name] = node
     return out

@@ -64,3 +64,37 @@ def fold_tail_params(tail: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
     """{'conv': {'kernel','bias'}} (HR tail) -> folded pre-shuffle params."""
     kernel, bias = fold_tail_kernel(tail["conv"]["kernel"], tail["conv"]["bias"])
     return {"conv": {"kernel": kernel, "bias": bias}}
+
+
+def fold_tail_params_x4(tail: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+    """HR tail folded through BOTH x2 shuffles of a x4 generator.
+
+    The single fold leaves a 5x5 conv with 12 output channels at the
+    mid-resolution (scale/2) grid — still only 12/128 MXU lanes, measured as
+    the dominant non-trunk cost at serving shapes. Folding through the second
+    shuffle as well gives a conv at quarter resolution with 48 outputs; to
+    avoid an explicit space_to_depth relayout of the up-stage activations it
+    is expressed as an equivalent **6x6 stride-2 conv** directly on the
+    pre-shuffle activations (u):
+
+        d2s(tanh(conv5x5_same(u)))
+          == d2s(d2s(tanh(conv3x3_same(s2d(u)))))            [fold again]
+          == d2s(d2s(tanh(conv6x6_stride2_pad2(u))))         [absorb s2d]
+
+    with W6[2p+i, 2q+j, c, :] = W3[p, q, c*4 + i*2 + j, :] (same taps, the
+    stride walks the phase pairs). FLOPs are identical to the 3x3 form; MXU
+    lane utilization rises 12 -> 48 of 128. Exactness tested in
+    tests/test_optimized.py. Returns params for a (6,6,4C,48) stride-2 conv
+    with padding ((2,2),(2,2)); apply pixel_shuffle(., 2) twice afterwards.
+    """
+    k1, b1 = fold_tail_kernel(tail["conv"]["kernel"], tail["conv"]["bias"])
+    k2, b2 = fold_tail_kernel(k1, b1)  # (3, 3, 16C, 48)
+    k2_np = np.asarray(k2, np.float32)
+    c4 = k1.shape[2]
+    k6 = np.zeros((6, 6, c4, k2_np.shape[3]), np.float32)
+    for p in range(3):
+        for q in range(3):
+            for phase in range(4):
+                ip, jp = divmod(phase, 2)
+                k6[2 * p + ip, 2 * q + jp] = k2_np[p, q, phase::4, :]
+    return {"conv": {"kernel": jnp.asarray(k6), "bias": jnp.asarray(b2)}}

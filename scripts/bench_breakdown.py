@@ -61,8 +61,7 @@ def main():
     def trunk(x):
         h = x
         for i in range(16):
-            h = ScatterRRDB(64, 0.2, name=f"rrdb{i}").apply(
-                {"params": {f"rrdb{i}": params[f"rrdb{i}"]}}, h)
+            h = ScatterRRDB(64, 0.2).apply({"params": params[f"rrdb{i}"]}, h)
         return h
 
     it = pick_iters(30.0)

@@ -109,3 +109,37 @@ def test_winograd_optimized_generator_bit_exact_fp32():
         DeployedModel(spec, variables["params"], dtype=jnp.float32, wino_m=2)(x)
     ).astype(np.int32)
     assert int(np.abs(base - wino).max()) == 0
+
+
+def test_tail_fold2_generator_matches_fused():
+    """Double-folded x4 tail (6x6 stride-2 quarter-res conv) == standard."""
+    std = SRGenerator(depth=2, width=32, scale=4, fused=True, dtype=jnp.float32)
+    variables = std.init(jax.random.PRNGKey(0), jnp.zeros((1, 12, 12, 3)))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 12, 12, 3)) * 0.5
+    want = std.apply(variables, x)
+
+    opt = OptimizedSRGenerator(depth=2, width=32, scale=4, tail_fold=2,
+                               dtype=jnp.float32)
+    opt_params = optimize_generator_params(variables["params"], tail_fold=2)
+    got = opt.apply({"params": opt_params}, x)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_tail_fold_modes_agree_uint8():
+    """tail_fold=1 and tail_fold=2 deployment graphs agree to 1 LSB."""
+    spec = DeploySpec(family="sr", depth=1, width=32, scale=4)
+    model = spec.build_model(dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 12, 12, 3)))
+    x = jnp.asarray(
+        np.random.default_rng(0).integers(0, 255, (2, 12, 12, 3), dtype=np.uint8)
+    )
+    f1 = np.asarray(
+        DeployedModel(spec, variables["params"], dtype=jnp.float32, tail_fold=1)(x)
+    ).astype(np.int32)
+    f2 = np.asarray(
+        DeployedModel(spec, variables["params"], dtype=jnp.float32, tail_fold=2)(x)
+    ).astype(np.int32)
+    assert np.abs(f1 - f2).max() <= 1
+    assert (f1 != f2).mean() < 0.02
