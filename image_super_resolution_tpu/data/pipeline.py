@@ -78,6 +78,9 @@ class LoaderConfig:
     seed: int = 100
     drop_last: bool = True
     prefetch: int = 4
+    # "auto": use the C++ loader (native/loader.cpp) when it builds on this
+    # host, else the cv2/PIL thread pool; "native"/"python" force a backend.
+    backend: str = "auto"
 
 
 class PatchLoader:
@@ -158,11 +161,74 @@ class PatchLoader:
             return np.zeros((self.patch, self.patch, 3), np.uint8)
         return _random_crop(img, self.patch, rng)
 
+    @property
+    def uses_native(self) -> bool:
+        """True when batches come from the C++ loader (native/loader.cpp)."""
+        if self.config.backend == "python":
+            return False
+        from .. import native
+
+        ok = native.available()
+        if self.config.backend == "native" and not ok:
+            raise RuntimeError(
+                "LoaderConfig.backend='native' but the C++ loader did not "
+                "build on this host (need g++, libjpeg, libpng)"
+            )
+        return ok
+
+    def _batch_indices(self, order: np.ndarray, b: int) -> np.ndarray:
+        idx = order[b * self.config.batch_size : (b + 1) * self.config.batch_size]
+        if len(idx) < self.config.batch_size:  # pad final partial batch
+            idx = np.concatenate([idx, order[: self.config.batch_size - len(idx)]])
+        return idx
+
+    def _iter_native(self, order: np.ndarray, n_batches: int) -> Iterator[np.ndarray]:
+        """One isr_load_patches call per batch: C++ decodes, crops, and fills
+        the contiguous uint8 NHWC buffer with cfg.workers threads, GIL
+        released for the whole call. Pipelined cfg.prefetch batches deep."""
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        from .. import native
+
+        cfg = self.config
+
+        def load_batch(b: int) -> np.ndarray:
+            idx = self._batch_indices(order, b)
+            seeds = [
+                int(
+                    np.random.SeedSequence(
+                        [cfg.seed, self._epoch, b, int(i)]
+                    ).generate_state(1, np.uint64)[0]
+                )
+                for i in idx
+            ]
+            return native.load_patches(
+                [self.samples[i] for i in idx], self.patch, seeds,
+                threads=max(cfg.workers, 1),
+            )
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            pending = deque(
+                pool.submit(load_batch, b)
+                for b in range(min(max(cfg.prefetch // 2, 1), n_batches))
+            )
+            next_b = len(pending)
+            for _ in range(n_batches):
+                yield pending.popleft().result()
+                if next_b < n_batches:
+                    pending.append(pool.submit(load_batch, next_b))
+                    next_b += 1
+
     def __iter__(self) -> Iterator[np.ndarray]:
         cfg = self.config
         rng = np.random.default_rng(np.random.SeedSequence([cfg.seed, self._epoch]))
         order = rng.permutation(len(self.samples))
         n_batches = self.steps_per_epoch
+
+        if self.uses_native:
+            yield from self._iter_native(order, n_batches)
+            return
 
         from collections import deque
         from concurrent.futures import ThreadPoolExecutor
@@ -171,9 +237,7 @@ class PatchLoader:
         # pool, which deadlocks when outer tasks saturate the workers).
         with ThreadPoolExecutor(max_workers=max(cfg.workers, 1)) as pool:
             def submit_batch(b: int):
-                idx = order[b * cfg.batch_size : (b + 1) * cfg.batch_size]
-                if len(idx) < cfg.batch_size:  # pad final partial batch
-                    idx = np.concatenate([idx, order[: cfg.batch_size - len(idx)]])
+                idx = self._batch_indices(order, b)
                 return [
                     pool.submit(
                         self._load_patch,
