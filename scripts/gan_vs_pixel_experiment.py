@@ -22,9 +22,12 @@ from __future__ import annotations
 import argparse
 import json
 import shutil
+import sys
 from pathlib import Path
 
 import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def make_dataset(root: Path, n_train: int = 240, n_val: int = 8, size: int = 128):
