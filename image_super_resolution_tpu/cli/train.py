@@ -27,6 +27,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--scale", type=int, default=2)
     parser.add_argument("--train_denoise", action="store_true")
     parser.add_argument("--worker", type=int, default=2)
+    parser.add_argument(
+        "--loader_backend", type=str, default="auto",
+        choices=["auto", "native", "python"],
+        help="host patch loader: native C++ (ROI decode) or cv2/PIL threads",
+    )
     parser.add_argument("--batch_size", type=int, default=16)
     parser.add_argument("--work_dir", type=str, default="./")
     parser.add_argument("--momentum", type=float, default=0.999, help="adam beta2")
@@ -103,7 +108,7 @@ def run_training(opt) -> None:
     scale = 1 if phase == "denoise" else opt.scale
     cfg = LoaderConfig(
         batch_size=opt.batch_size, patch_size=opt.shape, scale=scale,
-        workers=opt.worker, seed=opt.seed,
+        workers=opt.worker, seed=opt.seed, backend=opt.loader_backend,
     )
     loader = PatchLoader(
         opt.train_json, cfg,

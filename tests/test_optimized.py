@@ -127,6 +127,23 @@ def test_tail_fold2_generator_matches_fused():
                                rtol=1e-4, atol=1e-4)
 
 
+def test_tail_fold2_odd_spatial_size():
+    """Odd LR inputs are safe: the stride-2 folded tail runs on the up1
+    pre-shuffle grid (2*H, always even), so no floor-division size drift."""
+    std = SRGenerator(depth=1, width=32, scale=4, fused=True, dtype=jnp.float32)
+    variables = std.init(jax.random.PRNGKey(0), jnp.zeros((1, 13, 11, 3)))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 13, 11, 3)) * 0.5
+    want = std.apply(variables, x)
+    opt = OptimizedSRGenerator(depth=1, width=32, scale=4, tail_fold=2,
+                               dtype=jnp.float32)
+    got = opt.apply(
+        {"params": optimize_generator_params(variables["params"], tail_fold=2)}, x
+    )
+    assert got.shape == want.shape == (2, 52, 44, 3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_tail_fold_modes_agree_uint8():
     """tail_fold=1 and tail_fold=2 deployment graphs agree to 1 LSB."""
     spec = DeploySpec(family="sr", depth=1, width=32, scale=4)
