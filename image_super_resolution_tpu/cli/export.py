@@ -3,7 +3,8 @@
 The reference's export is a __main__ block in utils/models.py:764-813
 (EMA weights -> Model wrapper with baked normalize -> fuse -> TorchScript +
 ONNX). Here: EMA weights -> BN fold -> msgpack artifact (+ optional
-StableHLO program via jax.export).
+StableHLO program via jax.export, + optional TF SavedModel via jax2tf for
+TF Serving / TFLite / tf2onnx consumers).
 """
 
 from __future__ import annotations
@@ -28,6 +29,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--hlo_dynamic", action="store_true",
                         help="export --stablehlo with symbolic N/H/W dims (the "
                              "analog of the reference's dynamic-axis ONNX)")
+    parser.add_argument("--tf_saved_model", type=str, default=None,
+                        help="also export a TensorFlow SavedModel here "
+                             "(dynamic dims; feeds TF Serving/TFLite/tf2onnx; "
+                             "requires tensorflow)")
     parser.add_argument("--smoke", action="store_true",
                         help="run + time one forward after export")
     return parser
@@ -65,6 +70,12 @@ def main(argv=None) -> None:
                          polymorphic=opt.hlo_dynamic)
         kind = "dynamic-shape" if opt.hlo_dynamic else f"{n}x{h}x{w}"
         print(f"StableHLO program ({kind}) -> {opt.stablehlo}")
+
+    if opt.tf_saved_model:
+        from ..models.deploy import export_tf_saved_model
+
+        export_tf_saved_model(deployed, opt.tf_saved_model)
+        print(f"TF SavedModel (dynamic dims) -> {opt.tf_saved_model}")
 
     if opt.smoke:
         import time

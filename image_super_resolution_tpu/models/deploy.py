@@ -228,3 +228,31 @@ def export_stablehlo(
         spec = jax.ShapeDtypeStruct((batch, height, width, 3), jnp.uint8)
     exported = jax_export.export(fn)(spec)
     Path(out_path).write_bytes(exported.serialize())
+
+
+def export_tf_saved_model(deployed: DeployedModel, out_dir: str | Path) -> None:
+    """Export a TensorFlow SavedModel (uint8 [B,H,W,3] -> uint8, dynamic
+    dims) via jax2tf — the non-JAX consumer story matching the reference's
+    ONNX export (utils/models.py:803-812): a SavedModel feeds TF Serving,
+    TFLite, and tf2onnx without any JAX at load time. Gated on tensorflow
+    being importable; numerically bit-exact vs the native artifact
+    (tests/test_infer.py).
+    """
+    import tensorflow as tf  # gated: raise cleanly if absent
+    from jax.experimental import jax2tf
+
+    fn = jax2tf.convert(
+        deployed.raw_apply,
+        polymorphic_shapes=[None, "(b, h, w, 3)"],
+        with_gradient=False,
+    )
+    module = tf.Module()
+    params_tf = jax.tree_util.tree_map(
+        lambda a: tf.constant(np.asarray(a)), deployed.params
+    )
+    module.f = tf.function(
+        lambda x: fn(params_tf, x),
+        input_signature=[tf.TensorSpec([None, None, None, 3], tf.uint8)],
+        autograph=False,
+    )
+    tf.saved_model.save(module, str(out_dir))

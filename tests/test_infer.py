@@ -208,3 +208,22 @@ def test_stablehlo_polymorphic_export_serves_any_shape(tmp_path):
         want = np.asarray(deployed(x))
         assert got.shape == (shape[0], shape[1] * 2, shape[2] * 2, 3)
         np.testing.assert_array_equal(got, want)
+
+
+def test_tf_saved_model_export_bit_exact(tmp_path):
+    """jax2tf SavedModel export (the non-JAX consumer path, gated on TF):
+    dynamic dims, bit-exact vs the native deployed artifact."""
+    tf = pytest.importorskip("tensorflow")
+
+    from image_super_resolution_tpu.models.deploy import export_tf_saved_model
+
+    deployed = small_deployed(scale=2)
+    out = tmp_path / "savedmodel"
+    export_tf_saved_model(deployed, out)
+    reloaded = tf.saved_model.load(str(out))
+    rng = np.random.default_rng(0)
+    for shape in [(1, 16, 16, 3), (2, 20, 24, 3)]:
+        x = rng.integers(0, 256, shape, dtype=np.uint8)
+        got = reloaded.f(tf.constant(x)).numpy()
+        want = np.asarray(deployed(jnp.asarray(x)))
+        np.testing.assert_array_equal(got, want)
