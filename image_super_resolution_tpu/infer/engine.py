@@ -50,10 +50,21 @@ class TiledUpscaler:
         if self._spatial_mesh is not None:
             return self._upscale_spatial(image_u8)
         if self.window == 0:  # whole-image mode
-            return np.asarray(self.deployed(jnp.asarray(image_u8[None])))[0]
+            try:
+                return np.asarray(self.deployed(jnp.asarray(image_u8[None])))[0]
+            except Exception as e:  # HBM OOM on huge images: tile instead
+                msg = str(e)
+                if "RESOURCE_EXHAUSTED" not in msg and "Out of memory" not in msg:
+                    raise
+                import warnings
+
+                warnings.warn(
+                    f"whole-image inference exhausted device memory for "
+                    f"{image_u8.shape}; falling back to overlap tiling"
+                )
         return upscale_tiled(
             self.deployed, image_u8,
-            window=self.window, overlap=self.overlap, batch_size=self.batch_size,
+            window=self.window or 96, overlap=self.overlap, batch_size=self.batch_size,
         )
 
     def _upscale_spatial(self, image_u8: np.ndarray) -> np.ndarray:

@@ -227,3 +227,30 @@ def test_tf_saved_model_export_bit_exact(tmp_path):
         got = reloaded.f(tf.constant(x)).numpy()
         want = np.asarray(deployed(jnp.asarray(x)))
         np.testing.assert_array_equal(got, want)
+
+
+def test_whole_image_oom_falls_back_to_tiling():
+    """window=0 on an image too large for HBM degrades to overlap tiling
+    instead of crashing (observed: 2048^2 x4 16-RRDB exhausts a 16 GB chip)."""
+    from image_super_resolution_tpu.infer.engine import TiledUpscaler
+
+    deployed = small_deployed(scale=2)
+
+    class OOMOnce:
+        def __init__(self, inner):
+            self._inner = inner
+            self.calls = 0
+            self.spec = inner.spec
+
+        def __call__(self, x):
+            self.calls += 1
+            if self.calls == 1:
+                raise RuntimeError("RESOURCE_EXHAUSTED: Out of memory in HBM")
+            return self._inner(x)
+
+    wrapped = OOMOnce(deployed)
+    up = TiledUpscaler(wrapped, window=0, overlap=8, batch_size=4)
+    img = np.random.default_rng(0).integers(0, 255, (100, 80, 3), dtype=np.uint8)
+    out = up.upscale_image(img)
+    assert out.shape == (200, 160, 3)
+    assert wrapped.calls > 1  # fallback actually tiled
