@@ -74,6 +74,22 @@ def run(
     src_path = Path(src)
     out_path = Path(save_dir)
 
+    if src_path.is_dir():
+        # Batch mode: one loaded model / one compile serves every image in
+        # the folder — per-invocation model setup dominates single-image CLI
+        # latency, so production batches should go through this path.
+        from ..utils.general import IMG_FORMATS
+
+        images = sorted(
+            p for p in src_path.iterdir()
+            if p.suffix.lower() in IMG_FORMATS
+        )
+        if not images:
+            raise FileNotFoundError(f"no images in {src_path}")
+        out_path.mkdir(parents=True, exist_ok=True)
+        for p in images:
+            _run_image(engine, p, out_path / p.name)
+        return out_path
     if src_path.suffix.lower() in VID_FORMATS:
         return _run_video(engine, deployed, src_path, out_path, batch_size,
                           codec=codec)

@@ -193,3 +193,29 @@ def test_create_json_cli_accepts_reference_flags():
         ["--train_dirs", "a", "b", "--val_dirs", "c", "--shape", "96"]
     )
     assert opt.train_dirs == ["a", "b"] and opt.shape == 96
+
+
+def test_cli_rs_directory_batch(workspace):
+    """rs --src DIR processes every image with one loaded model."""
+    import numpy as np
+    from PIL import Image
+
+    ws = workspace
+    artifact = ws / "model.isr"
+    assert artifact.exists()  # produced by the pixel-phase test above
+    src = ws / "batchdir"
+    src.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        Image.fromarray(
+            rng.integers(0, 255, (40, 32, 3), dtype=np.uint8)
+        ).save(src / f"im{i}.png")
+    outdir = ws / "batch_out"
+    rs_main([
+        "--model", str(artifact), "--src", str(src), "--save_dir", str(outdir),
+        "--window_size", "32", "--overlap", "4", "--batch_size", "2",
+    ])
+    outs = sorted(outdir.glob("*.png"))
+    assert len(outs) == 3
+    im = Image.open(outs[0])
+    assert im.size == (32 * 2, 40 * 2)
