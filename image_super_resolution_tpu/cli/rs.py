@@ -87,8 +87,17 @@ def run(
         if not images:
             raise FileNotFoundError(f"no images in {src_path}")
         out_path.mkdir(parents=True, exist_ok=True)
+        # Outputs are always .png; photo.jpg and photo.png share a stem, so
+        # disambiguate duplicate stems by folding the source extension in.
+        from collections import Counter
+
+        stem_counts = Counter(p.stem for p in images)
         for p in images:
-            _run_image(engine, p, out_path / p.name)
+            name = (
+                p.stem if stem_counts[p.stem] == 1
+                else f"{p.stem}_{p.suffix.lstrip('.').lower()}"
+            )
+            _run_image(engine, p, out_path / name)
         return out_path
     if src_path.suffix.lower() in VID_FORMATS:
         return _run_video(engine, deployed, src_path, out_path, batch_size,

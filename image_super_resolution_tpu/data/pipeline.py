@@ -69,6 +69,21 @@ def _random_crop(img: np.ndarray, size: int, rng: np.random.Generator) -> np.nda
     return img[top : top + size, left : left + size]
 
 
+def _pipelined(submit, n_batches: int, depth: int):
+    """Bounded-lookahead pipeline shared by both loader backends: keep up to
+    ``depth`` submitted batches in flight, yielding them in order."""
+    from collections import deque
+
+    pending = deque(submit(b) for b in range(min(max(depth, 1), n_batches)))
+    next_b = len(pending)
+    for _ in range(n_batches):
+        item = pending.popleft()
+        yield item
+        if next_b < n_batches:
+            pending.append(submit(next_b))
+            next_b += 1
+
+
 @dataclass
 class LoaderConfig:
     batch_size: int = 16
@@ -179,14 +194,19 @@ class PatchLoader:
     def _batch_indices(self, order: np.ndarray, b: int) -> np.ndarray:
         idx = order[b * self.config.batch_size : (b + 1) * self.config.batch_size]
         if len(idx) < self.config.batch_size:  # pad final partial batch
-            idx = np.concatenate([idx, order[: self.config.batch_size - len(idx)]])
+            # cycle the whole permutation: datasets smaller than batch_size
+            # must still fill a full fixed-shape batch
+            idx = np.concatenate(
+                [idx, np.resize(order, self.config.batch_size - len(idx))]
+            )
         return idx
 
     def _iter_native(self, order: np.ndarray, n_batches: int) -> Iterator[np.ndarray]:
         """One isr_load_patches call per batch: C++ decodes, crops, and fills
         the contiguous uint8 NHWC buffer with cfg.workers threads, GIL
-        released for the whole call. Pipelined cfg.prefetch batches deep."""
-        from collections import deque
+        released for the whole call. Pipelined min(cfg.prefetch, 8) batches
+        deep (each in-flight batch already runs cfg.workers native threads,
+        so deep pipelines oversubscribe the host — hence the cap)."""
         from concurrent.futures import ThreadPoolExecutor
 
         from .. import native
@@ -208,17 +228,12 @@ class PatchLoader:
                 threads=max(cfg.workers, 1),
             )
 
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            pending = deque(
-                pool.submit(load_batch, b)
-                for b in range(min(max(cfg.prefetch // 2, 1), n_batches))
-            )
-            next_b = len(pending)
-            for _ in range(n_batches):
-                yield pending.popleft().result()
-                if next_b < n_batches:
-                    pending.append(pool.submit(load_batch, next_b))
-                    next_b += 1
+        depth = min(max(cfg.prefetch, 1), 8)
+        with ThreadPoolExecutor(max_workers=depth) as pool:
+            for fut in _pipelined(
+                lambda b: pool.submit(load_batch, b), n_batches, depth
+            ):
+                yield fut.result()
 
     def __iter__(self) -> Iterator[np.ndarray]:
         cfg = self.config
@@ -230,7 +245,6 @@ class PatchLoader:
             yield from self._iter_native(order, n_batches)
             return
 
-        from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
         # One future per PATCH (flat — never submit pool work from inside the
@@ -249,16 +263,8 @@ class PatchLoader:
                     for i in idx
                 ]
 
-            pending = deque(
-                submit_batch(b) for b in range(min(cfg.prefetch, n_batches))
-            )
-            next_b = len(pending)
-            for _ in range(n_batches):
-                futures = pending.popleft()
+            for futures in _pipelined(submit_batch, n_batches, cfg.prefetch):
                 yield np.stack([f.result() for f in futures])
-                if next_b < n_batches:
-                    pending.append(submit_batch(next_b))
-                    next_b += 1
 
 
 @dataclass

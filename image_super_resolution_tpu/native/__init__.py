@@ -26,14 +26,20 @@ _tried = False
 
 
 def _build() -> bool:
+    # Compile to a process-unique temp name, then os.replace (atomic on
+    # POSIX): concurrent first-use from several processes must never dlopen
+    # a half-written .so.
+    tmp = _SO.with_name(f".{_SO.name}.{os.getpid()}.tmp")
     cmd = [
         "g++", "-O2", "-shared", "-fPIC", "-std=c++17",
-        str(_SRC), "-o", str(_SO), "-ljpeg", "-lpng", "-pthread",
+        str(_SRC), "-o", str(tmp), "-ljpeg", "-lpng", "-pthread",
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _SO)
         return True
     except Exception:
+        tmp.unlink(missing_ok=True)
         return False
 
 
@@ -68,10 +74,11 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.c_int,
                 ctypes.POINTER(ctypes.c_uint64),
                 ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_uint8),
                 ctypes.c_int,
             ]
             lib.isr_load_patches.restype = ctypes.c_int
-            if lib.isr_version() != 1:
+            if lib.isr_version() != 2:
                 return None
             _lib = lib
         except Exception:
@@ -104,23 +111,47 @@ def load_patches(
     paths: Sequence[str], patch: int, seeds: Sequence[int], threads: int = 4
 ) -> Optional[np.ndarray]:
     """Batched decode + seeded random crop into one (N, patch, patch, 3)
-    uint8 array. Failed decodes come back as zero patches (matching the
-    Python backend's train-time substitution). None if the native lib is
-    unavailable."""
+    uint8 array. Slots the C++ library cannot decode (formats beyond
+    JPEG/PNG — bmp/webp/tiff/... — or corrupt files) are re-decoded in
+    Python (cv2/PIL) per image; only images unreadable by BOTH backends
+    become zero patches, with a warning (matching the Python backend's
+    train-time substitution). None if the native lib is unavailable."""
     lib = _load()
     if lib is None:
         return None
     n = len(paths)
     assert len(seeds) == n
     out = np.empty((n, patch, patch, 3), np.uint8)
+    status = np.zeros(n, np.uint8)
     c_paths = (ctypes.c_char_p * n)(*[str(p).encode() for p in paths])
     c_seeds = np.ascontiguousarray(np.asarray(seeds, np.uint64))
-    lib.isr_load_patches(
+    not_ok = lib.isr_load_patches(
         c_paths,
         n,
         patch,
         c_seeds.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         int(threads),
     )
+    if not_ok:
+        # Python fallback per not-OK slot (lazy import: pipeline imports us).
+        from ..data.pipeline import _random_crop, _read_rgb
+
+        unreadable = []
+        for i in np.nonzero(status)[0]:
+            img = _read_rgb(str(paths[i]))
+            if img is None:
+                unreadable.append(str(paths[i]))  # stays a zero patch
+                continue
+            rng = np.random.default_rng(np.uint64(seeds[i]))
+            out[i] = _random_crop(img, patch, rng)
+        if unreadable:
+            import warnings
+
+            warnings.warn(
+                f"{len(unreadable)} image(s) unreadable by both the native "
+                f"and Python decoders; substituted zero patches "
+                f"(first: {unreadable[0]})"
+            )
     return out

@@ -13,7 +13,9 @@
 //   isr_version()                         -> int
 //   isr_decode_dims(path, &h, &w)         -> 0/err  (header probe only)
 //   isr_decode_rgb(path, out, h, w)       -> 0/err  (decode into caller buf)
-//   isr_load_patches(paths, n, patch, seeds, out, n_threads) -> n_failed
+//   isr_load_patches(paths, n, patch, seeds, out, status, n_threads)
+//       -> count of not-OK slots; per-item PatchStatus codes in status[n]
+//       (the binding re-decodes FAILED/UNSUPPORTED slots via PIL/cv2)
 //
 // Semantics match data/pipeline.py's Python backend: images smaller than the
 // patch are reflect-padded on the bottom/right (np.pad mode="reflect");
@@ -36,7 +38,7 @@
 
 extern "C" {
 
-int isr_version() { return 1; }
+int isr_version() { return 2; }
 
 // ---------------------------------------------------------------------------
 // splitmix64 — tiny, well-distributed PRNG for crop offsets
@@ -301,12 +303,13 @@ static int png_prefix_patch(FILE* f, int patch, int top, int left, int w,
   return 0;
 }
 
-static int load_one_patch(const char* path, int patch, uint64_t seed,
-                          uint8_t* out) {
+static uint8_t load_one_patch(const char* path, int patch, uint64_t seed,
+                              uint8_t* out) {
   int h = 0, w = 0;
-  if (decode_any(path, 0, nullptr, &h, &w) != 0 || h <= 0 || w <= 0) {
+  int probe = decode_any(path, 0, nullptr, &h, &w);
+  if (probe != 0 || h <= 0 || w <= 0) {
     std::memset(out, 0, (size_t)patch * patch * 3);
-    return 1;
+    return (uint8_t)(probe == -4 ? 2 : 1);  // ISR_UNSUPPORTED : ISR_FAILED
   }
   uint64_t s = seed;
   int ph = (h >= patch) ? h : patch, pw = (w >= patch) ? w : patch;
@@ -352,18 +355,31 @@ static int load_one_patch(const char* path, int patch, uint64_t seed,
   return 0;
 }
 
+// Per-item status codes written to `status[n]`:
+enum PatchStatus : uint8_t {
+  ISR_OK = 0,           // decoded and cropped
+  ISR_FAILED = 1,       // unreadable / corrupt (slot zero-filled)
+  ISR_UNSUPPORTED = 2,  // container this library doesn't decode (bmp/webp/
+                        // tiff/...): caller must decode this slot itself
+};
+
 // Fill out[n, patch, patch, 3] (contiguous NHWC uint8). Returns the number
-// of failed decodes (their slots are zero-filled).
+// of slots that are NOT ISR_OK; per-item dispositions land in status[n].
 int isr_load_patches(const char** paths, int n, int patch,
-                     const uint64_t* seeds, uint8_t* out, int n_threads) {
+                     const uint64_t* seeds, uint8_t* out, uint8_t* status,
+                     int n_threads) {
   if (n <= 0 || patch <= 0) return 0;
   if (n_threads < 1) n_threads = 1;
   if (n_threads > n) n_threads = n;
-  std::atomic<int> next(0), failed(0);
+  std::atomic<int> next(0), not_ok(0);
   size_t stride = (size_t)patch * patch * 3;
   auto worker = [&]() {
-    for (int i = next.fetch_add(1); i < n; i = next.fetch_add(1))
-      failed += load_one_patch(paths[i], patch, seeds[i], out + (size_t)i * stride);
+    for (int i = next.fetch_add(1); i < n; i = next.fetch_add(1)) {
+      uint8_t st = load_one_patch(paths[i], patch, seeds[i],
+                                  out + (size_t)i * stride);
+      status[i] = st;
+      if (st != ISR_OK) not_ok += 1;
+    }
   };
   if (n_threads == 1) {
     worker();
@@ -373,7 +389,7 @@ int isr_load_patches(const char** paths, int n, int patch,
     for (int t = 0; t < n_threads; ++t) ts.emplace_back(worker);
     for (auto& t : ts) t.join();
   }
-  return failed.load();
+  return not_ok.load();
 }
 
 }  // extern "C"

@@ -219,3 +219,25 @@ def test_cli_rs_directory_batch(workspace):
     assert len(outs) == 3
     im = Image.open(outs[0])
     assert im.size == (32 * 2, 40 * 2)
+
+
+def test_cli_rs_directory_stem_collision(workspace):
+    """photo.jpg + photo.png in one folder must not overwrite each other."""
+    import numpy as np
+    from PIL import Image
+
+    ws = workspace
+    artifact = ws / "model.isr"
+    src = ws / "collide"
+    src.mkdir()
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 255, (40, 32, 3), dtype=np.uint8)
+    Image.fromarray(img).save(src / "photo.png")
+    Image.fromarray(img).save(src / "photo.jpg")
+    outdir = ws / "collide_out"
+    rs_main([
+        "--model", str(artifact), "--src", str(src), "--save_dir", str(outdir),
+        "--window_size", "32", "--overlap", "4", "--batch_size", "2",
+    ])
+    outs = sorted(p.name for p in outdir.glob("*.png"))
+    assert outs == ["photo_jpg.png", "photo_png.png"]

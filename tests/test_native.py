@@ -133,3 +133,39 @@ def test_patchloader_python_backend_forced(imgdir):
     assert not loader.uses_native
     b = next(iter(loader))
     assert b.shape == (2, 32, 32, 3) and b.dtype == np.uint8
+
+
+@needs_native
+def test_non_jpeg_png_formats_fall_back_to_python_decode(tmp_path):
+    """bmp/webp/tiff are manifest-legal but not C++-decodable: the binding
+    must re-decode those slots in Python, not return silent zero patches."""
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 256, (50, 60, 3), dtype=np.uint8)
+    paths = []
+    for ext in ("bmp", "webp", "tiff"):
+        p = tmp_path / f"x.{ext}"
+        Image.fromarray(img).save(p)
+        paths.append(str(p))
+    out = native.load_patches(paths, 32, [1, 2, 3])
+    assert out.shape == (3, 32, 32, 3)
+    for i in range(3):
+        assert out[i].max() > 0, f"format {paths[i]} came back as zeros"
+
+
+@needs_native
+def test_unreadable_everywhere_warns_and_zero_fills(tmp_path, recwarn):
+    bad = tmp_path / "corrupt.png"
+    bad.write_bytes(b"\x89PNG\r\n\x1a\nnot really a png")
+    out = native.load_patches([str(bad)], 16, [0])
+    assert out[0].max() == 0
+    assert any("unreadable" in str(w.message) for w in recwarn.list)
+
+
+def test_batch_indices_dataset_smaller_than_batch(imgdir):
+    """Datasets smaller than batch_size still produce FULL fixed-shape
+    batches (cyclic padding) — undersized batches break jitted steps."""
+    _, paths = imgdir
+    cfg = LoaderConfig(batch_size=8, patch_size=32, scale=2, backend="python")
+    loader = PatchLoader(paths, cfg)  # 3 samples, batch 8
+    b = next(iter(loader))
+    assert b.shape == (8, 32, 32, 3)
