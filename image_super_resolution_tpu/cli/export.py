@@ -33,6 +33,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="also export a TensorFlow SavedModel here "
                              "(dynamic dims; feeds TF Serving/TFLite/tf2onnx; "
                              "requires tensorflow)")
+    parser.add_argument("--torch_state_dict", type=str, default=None,
+                        help="also export a reference-layout torch state_dict "
+                             ".pt here (loads strict=True into the PyTorch "
+                             "reference's ResNet/EResNet — migration back)")
     parser.add_argument("--smoke", action="store_true",
                         help="run + time one forward after export")
     return parser
@@ -76,6 +80,21 @@ def main(argv=None) -> None:
 
         export_tf_saved_model(deployed, opt.tf_saved_model)
         print(f"TF SavedModel (dynamic dims) -> {opt.tf_saved_model}")
+
+    if opt.torch_state_dict:
+        if opt.family != "sr":
+            raise SystemExit("--torch_state_dict supports the sr family only")
+        from ..interop import save_torch_state_dict
+
+        # un-fused weights: the reference ResNet/EResNet modules carry BN
+        p = ckpt.get("ema_params" if not opt.no_ema else "params") or ckpt["params"]
+        s = ckpt.get("ema_batch_stats" if not opt.no_ema else "batch_stats", {}) or {}
+        save_torch_state_dict(
+            opt.torch_state_dict, p, s,
+            meta={"scale": opt.scale, "rs_deep": opt.rs_deep,
+                  "add_rate": opt.add_rate, "enchant": opt.enchant},
+        )
+        print(f"reference-layout torch state_dict -> {opt.torch_state_dict}")
 
     if opt.smoke:
         import time

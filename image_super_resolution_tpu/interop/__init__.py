@@ -1,5 +1,10 @@
 """Interop with reference PyTorch artifacts (TorchScript + training ckpts)."""
 
+from .torch_export import (
+    conv_kernel_to_torch,
+    export_generator_state,
+    save_torch_state_dict,
+)
 from .torch_import import (
     conv_kernel_to_flax,
     import_denoiser_state,
@@ -14,6 +19,9 @@ from .torch_import import (
 
 __all__ = [
     "conv_kernel_to_flax",
+    "conv_kernel_to_torch",
+    "export_generator_state",
+    "save_torch_state_dict",
     "import_denoiser_state",
     "import_discriminator_state",
     "import_generator_state",

@@ -216,3 +216,68 @@ def test_reference_denoise_imports_and_matches(ref_models):
         model.apply({"params": params, "batch_stats": stats}, jnp.asarray(x))
     )
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+# ------------------------------------------------------- export direction --
+
+def test_export_generator_state_roundtrip():
+    """export_generator_state is the exact inverse of import_generator_state."""
+    from image_super_resolution_tpu.interop import (
+        export_generator_state,
+        import_generator_state,
+    )
+    from image_super_resolution_tpu.models import SRGenerator
+
+    model = SRGenerator(depth=2, add_rate=0.2, scale=2, dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 12, 12, 3)))
+    params = jax.device_get(variables["params"])
+    stats = jax.device_get(variables.get("batch_stats", {}))
+
+    sd = export_generator_state(params, stats)
+    p2, s2, cfg = import_generator_state(
+        {k: np.asarray(v) for k, v in sd.items()}
+    )
+    assert cfg["depth"] == 2 and cfg["scale"] == 2
+
+    flat1 = jax.tree_util.tree_leaves_with_path(params)
+    flat2 = jax.tree_util.tree_leaves_with_path(p2)
+    assert len(flat1) == len(flat2)
+    for (k1, v1), (k2, v2) in zip(flat1, flat2):
+        assert k1 == k2
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    for (k1, v1), (k2, v2) in zip(
+        jax.tree_util.tree_leaves_with_path(stats),
+        jax.tree_util.tree_leaves_with_path(s2),
+    ):
+        assert k1 == k2
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+
+
+@needs_ref
+def test_exported_state_dict_loads_into_live_reference(ref_models):
+    """The exported dict loads strict=True into the reference's ResNet and
+    the torch forward matches the flax forward — migration BACK works."""
+    from image_super_resolution_tpu.interop import export_generator_state
+    from image_super_resolution_tpu.models import SRGenerator
+
+    model = SRGenerator(depth=2, add_rate=0.2, scale=2, dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(1), jnp.zeros((1, 12, 12, 3)))
+    params = jax.device_get(variables["params"])
+    stats = jax.device_get(variables.get("batch_stats", {}))
+
+    sd = export_generator_state(params, stats)
+    tnet = ref_models.ResNet(2, 0.2, 2)
+    missing, unexpected = tnet.load_state_dict(
+        {k: torch.from_numpy(np.asarray(v).copy()) for k, v in sd.items()},
+        strict=True,
+    )
+    assert not missing and not unexpected
+    tnet.eval()
+
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((1, 16, 16, 3)).astype(np.float32)
+    want = np.asarray(
+        model.apply({"params": params, "batch_stats": stats}, jnp.asarray(x))
+    )
+    got = _torch_forward(tnet, x)
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
