@@ -2,7 +2,10 @@
 
 from .torch_export import (
     conv_kernel_to_torch,
+    export_denoiser_state,
+    export_discriminator_state,
     export_generator_state,
+    linear_to_torch,
     save_torch_state_dict,
 )
 from .torch_import import (
@@ -20,7 +23,10 @@ from .torch_import import (
 __all__ = [
     "conv_kernel_to_flax",
     "conv_kernel_to_torch",
+    "export_denoiser_state",
+    "export_discriminator_state",
     "export_generator_state",
+    "linear_to_torch",
     "save_torch_state_dict",
     "import_denoiser_state",
     "import_discriminator_state",

@@ -96,6 +96,85 @@ def export_generator_state(
     return sd
 
 
+def linear_to_torch(
+    w_in_out: np.ndarray, feature_hwc: Optional[tuple] = None
+) -> np.ndarray:
+    """flax Dense (in, out) -> torch Linear (out, in); with ``feature_hwc``
+    the input columns are permuted back from H-major (H,W,C) to torch's
+    C-major (C,H,W) flattening (inverse of torch_import.linear_to_flax)."""
+    w = np.ascontiguousarray(np.asarray(w_in_out).T)  # (out, in)
+    if feature_hwc is not None:
+        h, w_, c = feature_hwc
+        out = w.shape[0]
+        w = w.reshape(out, h, w_, c).transpose(0, 3, 1, 2).reshape(out, c * h * w_)
+    return np.ascontiguousarray(w)
+
+
+def export_discriminator_state(
+    params: Dict[str, Any],
+    batch_stats: Optional[Dict[str, Any]] = None,
+    prefix: str = "",
+    pooled_hw: tuple = (6, 6),
+) -> Dict[str, np.ndarray]:
+    """Discriminator (params, batch_stats) -> reference Discriminator
+    state_dict (inverse of torch_import.import_discriminator_state)."""
+    stats = batch_stats or {}
+    g = lambda k: f"{prefix}{k}"
+    sd: Dict[str, np.ndarray] = {}
+    i = 0
+    out_ch = 0
+    while f"block{i}" in params:
+        _emit_block(sd, g(f"conv_blocks.{i}"), params[f"block{i}"],
+                    stats.get(f"block{i}"))
+        out_ch = params[f"block{i}"]["conv"]["kernel"].shape[-1]
+        i += 1
+    h, w = pooled_hw
+    fc1 = params["fc1"]["dense"]
+    sd[g("fc1.0.weight")] = linear_to_torch(fc1["kernel"], (h, w, out_ch))
+    sd[g("fc1.0.bias")] = np.asarray(fc1["bias"])
+    fc2 = params["fc2"]["dense"]
+    sd[g("fc2.weight")] = linear_to_torch(fc2["kernel"])
+    sd[g("fc2.bias")] = np.asarray(fc2["bias"])
+    return sd
+
+
+def _emit_residual_block(
+    sd: Dict[str, np.ndarray],
+    tprefix: str,
+    params: Dict[str, Any],
+    stats: Optional[Dict[str, Any]] = None,
+) -> None:
+    s = stats or {}
+    _emit_block(sd, f"{tprefix}.m.0", params["conv0"], s.get("conv0"))
+    _emit_block(sd, f"{tprefix}.m.1", params["conv1"], s.get("conv1"))
+
+
+def export_denoiser_state(
+    params: Dict[str, Any],
+    batch_stats: Optional[Dict[str, Any]] = None,
+    prefix: str = "",
+) -> Dict[str, np.ndarray]:
+    """Denoiser (params, batch_stats) -> reference Denoise state_dict
+    (current revision; inverse of torch_import.import_denoiser_state)."""
+    stats = batch_stats or {}
+    g = lambda k: f"{prefix}{k}"
+    sd: Dict[str, np.ndarray] = {}
+    _emit_block(sd, g("conv0.0"), params["head"], stats.get("head"))
+    for out_name, seq_key in (
+        ("res0_", "residual_0"), ("res1_", "residual_1"), ("res2_", "residual_2")
+    ):
+        n = 0
+        while f"{out_name}{n}" in params:
+            _emit_residual_block(sd, g(f"{seq_key}.{n}"),
+                                 params[f"{out_name}{n}"],
+                                 stats.get(f"{out_name}{n}"))
+            n += 1
+    _emit_block(sd, g("residual_conv0"), params["down"], stats.get("down"))
+    _emit_block(sd, g("conv1"), params["trunk_conv"], stats.get("trunk_conv"))
+    _emit_block(sd, g("conv2.0"), params["tail"], stats.get("tail"))
+    return sd
+
+
 def save_torch_state_dict(
     path,
     params: Dict[str, Any],

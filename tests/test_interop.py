@@ -281,3 +281,65 @@ def test_exported_state_dict_loads_into_live_reference(ref_models):
     )
     got = _torch_forward(tnet, x)
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+@needs_ref
+def test_exported_discriminator_loads_into_live_reference(ref_models):
+    from image_super_resolution_tpu.interop import export_discriminator_state
+    from image_super_resolution_tpu.models import Discriminator
+
+    model = Discriminator(channels=16, n_blocks=4, fc_size=32, dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(2), jnp.zeros((1, 48, 48, 3)))
+    params = jax.device_get(variables["params"])
+    stats = jax.device_get(variables.get("batch_stats", {}))
+
+    sd = export_discriminator_state(params, stats)
+    tnet = ref_models.Discriminator(3, 16, 4, 32)
+    missing, unexpected = tnet.load_state_dict(
+        {k: torch.from_numpy(np.asarray(v).copy()) for k, v in sd.items()},
+        strict=True,
+    )
+    assert not missing and not unexpected
+    tnet.eval()
+
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((2, 48, 48, 3)).astype(np.float32) * 0.5
+    with torch.no_grad():
+        want = tnet(torch.from_numpy(x.transpose(0, 3, 1, 2).copy())).numpy()
+    got = np.asarray(
+        model.apply({"params": params, "batch_stats": stats}, jnp.asarray(x),
+                    train=False)
+    )
+    np.testing.assert_allclose(got.reshape(-1), want.reshape(-1),
+                               atol=1e-4, rtol=1e-4)
+
+
+@needs_ref
+def test_exported_denoiser_roundtrip_and_loads(ref_models):
+    from image_super_resolution_tpu.interop import (
+        export_denoiser_state,
+        import_denoiser_state,
+    )
+    from image_super_resolution_tpu.models import Denoiser
+
+    model = Denoiser(depth=4, width=64, dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(3), jnp.zeros((1, 16, 16, 3)))
+    params = jax.device_get(variables["params"])
+    stats = jax.device_get(variables.get("batch_stats", {}))
+
+    sd = export_denoiser_state(params, stats)
+    p2, s2, cfg = import_denoiser_state({k: np.asarray(v) for k, v in sd.items()})
+    assert cfg["depth"] == 4 and cfg["width"] == 64
+    for (k1, v1), (k2, v2) in zip(
+        jax.tree_util.tree_leaves_with_path(params),
+        jax.tree_util.tree_leaves_with_path(p2),
+    ):
+        assert k1 == k2
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+
+    tnet = ref_models.Denoise(4)
+    missing, unexpected = tnet.load_state_dict(
+        {k: torch.from_numpy(np.asarray(v).copy()) for k, v in sd.items()},
+        strict=True,
+    )
+    assert not missing and not unexpected
