@@ -86,9 +86,13 @@ def main(argv=None) -> None:
             raise SystemExit("--torch_state_dict supports the sr family only")
         from ..interop import save_torch_state_dict
 
-        # un-fused weights: the reference ResNet/EResNet modules carry BN
-        p = ckpt.get("ema_params" if not opt.no_ema else "params") or ckpt["params"]
-        s = ckpt.get("ema_batch_stats" if not opt.no_ema else "batch_stats", {}) or {}
+        # un-fused weights: the reference ResNet/EResNet modules carry BN.
+        # Chained fallbacks must move TOGETHER: a no-EMA checkpoint that
+        # falls back to raw params must also fall back to raw batch_stats,
+        # or every BN exports with zeros/ones running stats.
+        use_ema = not opt.no_ema and "ema_params" in ckpt
+        p = ckpt["ema_params" if use_ema else "params"]
+        s = ckpt.get("ema_batch_stats" if use_ema else "batch_stats", {}) or {}
         save_torch_state_dict(
             opt.torch_state_dict, p, s,
             meta={"scale": opt.scale, "rs_deep": opt.rs_deep,

@@ -88,16 +88,29 @@ def run(
             raise FileNotFoundError(f"no images in {src_path}")
         out_path.mkdir(parents=True, exist_ok=True)
         # Outputs are always .png; photo.jpg and photo.png share a stem, so
-        # disambiguate duplicate stems by folding the source extension in.
+        # disambiguate duplicate stems by folding the whole source name in.
+        # Names keep every interior dot ("a.v2.jpg" -> "a.v2.png") — suffix
+        # REPLACEMENT would truncate at the last dot and collide.
         from collections import Counter
 
         stem_counts = Counter(p.stem for p in images)
+        failed = []
         for p in images:
-            name = (
-                p.stem if stem_counts[p.stem] == 1
-                else f"{p.stem}_{p.suffix.lstrip('.').lower()}"
+            base = (
+                p.name[: -len(p.suffix)] if stem_counts[p.stem] == 1
+                else p.name.replace(".", "_")
             )
-            _run_image(engine, p, out_path / name)
+            try:
+                _run_image(engine, p, out_path / f"{base}.png")
+            except Exception as e:  # one bad file must not kill the batch
+                import warnings
+
+                failed.append(p.name)
+                warnings.warn(f"skipping {p}: {type(e).__name__}: {e}")
+        if failed:
+            print(f"batch done with {len(failed)} failure(s): {failed[:5]}")
+            if len(failed) == len(images):
+                raise RuntimeError("every image in the batch failed")
         return out_path
     if src_path.suffix.lower() in VID_FORMATS:
         return _run_video(engine, deployed, src_path, out_path, batch_size,
@@ -122,7 +135,8 @@ def _run_image(engine, src: Path, out: Path) -> Path:
     image = _read_image_rgb(src)
     print("input shape", image.shape)
     result = engine.upscale_image(image)
-    out = out.with_suffix(".png")
+    if out.suffix.lower() != ".png":  # append, never replace: "a.v2" is a
+        out = out.parent / (out.name + ".png")  # stem, not a suffix to drop
     out.parent.mkdir(parents=True, exist_ok=True)
     cv2.imwrite(str(out), result[..., ::-1])
     print("output shape", result.shape, str(out))

@@ -135,6 +135,7 @@ class PatchLoader:
         self.config = config
         self.patch = ground_up(config.patch_size, max(config.scale, 1))
         self._epoch = 0
+        self._backend_choice: Optional[str] = None
 
     def __len__(self) -> int:
         return self.steps_per_epoch
@@ -178,18 +179,42 @@ class PatchLoader:
 
     @property
     def uses_native(self) -> bool:
-        """True when batches come from the C++ loader (native/loader.cpp)."""
+        """True when batches come from the C++ loader (native/loader.cpp).
+
+        NOTE: the two backends draw crop offsets from different PRNGs
+        (splitmix64 vs np.random.Generator), so runs are reproducible per
+        backend but not ACROSS backends; the chosen backend is printed once
+        so cross-machine runs can be compared knowingly.
+        """
+        if self._backend_choice is None:
+            self._backend_choice = self._pick_backend()
+            print(f"PatchLoader backend: {self._backend_choice}", flush=True)
+        return self._backend_choice == "native"
+
+    def _pick_backend(self) -> str:
         if self.config.backend == "python":
-            return False
+            return "python"
         from .. import native
 
         ok = native.available()
-        if self.config.backend == "native" and not ok:
-            raise RuntimeError(
-                "LoaderConfig.backend='native' but the C++ loader did not "
-                "build on this host (need g++, libjpeg, libpng)"
-            )
-        return ok
+        if self.config.backend == "native":
+            if not ok:
+                raise RuntimeError(
+                    "LoaderConfig.backend='native' but the C++ loader did not "
+                    "build on this host (need g++, libjpeg, libpng)"
+                )
+            return "native"
+        # auto: native only helps when it can actually decode the data —
+        # for mostly-webp/bmp/tiff manifests every patch would pay a failed
+        # C++ probe then a SERIAL Python re-decode, which is slower than the
+        # Python thread pool.
+        if not ok:
+            return "python"
+        decodable = sum(
+            1 for p in self.samples
+            if str(p).lower().endswith((".jpg", ".jpeg", ".png"))
+        )
+        return "native" if decodable * 2 >= len(self.samples) else "python"
 
     def _batch_indices(self, order: np.ndarray, b: int) -> np.ndarray:
         idx = order[b * self.config.batch_size : (b + 1) * self.config.batch_size]

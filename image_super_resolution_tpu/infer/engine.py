@@ -60,8 +60,12 @@ class TiledUpscaler:
 
                 warnings.warn(
                     f"whole-image inference exhausted device memory for "
-                    f"{image_u8.shape}; falling back to overlap tiling"
+                    f"{image_u8.shape}; falling back to overlap tiling "
+                    f"(latched for this engine)"
                 )
+                # latch: don't re-attempt the doomed allocation per image in
+                # batch runs over equally huge inputs
+                self.window = 96
         return upscale_tiled(
             self.deployed, image_u8,
             window=self.window or 96, overlap=self.overlap, batch_size=self.batch_size,

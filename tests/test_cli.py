@@ -241,3 +241,28 @@ def test_cli_rs_directory_stem_collision(workspace):
     ])
     outs = sorted(p.name for p in outdir.glob("*.png"))
     assert outs == ["photo_jpg.png", "photo_png.png"]
+
+
+def test_cli_rs_directory_dotted_stems_and_bad_file(workspace):
+    """a.v2.jpg / a.v3.jpg must not collide on a.png (suffix REPLACEMENT
+    truncates interior dots); one unreadable file must not kill the batch."""
+    import numpy as np
+    from PIL import Image
+
+    ws = workspace
+    artifact = ws / "model.isr"
+    src = ws / "dotted"
+    src.mkdir()
+    rng = np.random.default_rng(2)
+    for name in ("a.v2.jpg", "a.v3.jpg"):
+        Image.fromarray(
+            rng.integers(0, 255, (40, 32, 3), dtype=np.uint8)
+        ).save(src / name)
+    (src / "broken.png").write_bytes(b"not a png at all")
+    outdir = ws / "dotted_out"
+    rs_main([
+        "--model", str(artifact), "--src", str(src), "--save_dir", str(outdir),
+        "--window_size", "32", "--overlap", "4", "--batch_size", "2",
+    ])
+    outs = sorted(p.name for p in outdir.glob("*.png"))
+    assert outs == ["a.v2.png", "a.v3.png"]

@@ -169,3 +169,27 @@ def test_batch_indices_dataset_smaller_than_batch(imgdir):
     loader = PatchLoader(paths, cfg)  # 3 samples, batch 8
     b = next(iter(loader))
     assert b.shape == (8, 32, 32, 3)
+
+
+def test_auto_backend_prefers_python_for_undecodable_manifests(tmp_path):
+    """A mostly-webp manifest must not route through the native loader
+    (failed C++ probe + serial Python re-decode is slower than the pool)."""
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)
+    paths = []
+    for i in range(4):
+        p = tmp_path / f"w{i}.webp"
+        Image.fromarray(img).save(p)
+        paths.append(str(p))
+    loader = PatchLoader(paths, LoaderConfig(batch_size=2, patch_size=16,
+                                             scale=2, backend="auto"))
+    assert not loader.uses_native
+    # ...but a jpg/png-majority manifest keeps native (when available)
+    jpgs = []
+    for i in range(4):
+        p = tmp_path / f"j{i}.jpg"
+        Image.fromarray(img).save(p)
+        jpgs.append(str(p))
+    loader2 = PatchLoader(jpgs + paths[:1], LoaderConfig(
+        batch_size=2, patch_size=16, scale=2, backend="auto"))
+    assert loader2.uses_native == native.available()
