@@ -103,7 +103,9 @@ def run_training(opt) -> None:
     phase = "denoise" if opt.train_denoise else ("pixel" if opt.resnet else "gan")
     ckpt_path = work_dir / checkpoint_name(phase, opt.save_name, opt.rs_deep, opt.add_rate)
     res_ckpt_path = work_dir / checkpoint_name("pixel", opt.save_name, opt.rs_deep, opt.add_rate)
-    logger = MetricsLogger(work_dir, opt.save_name, use_tensorboard=not opt.no_tensorboard)
+    logger = MetricsLogger(work_dir, opt.save_name,
+                           use_tensorboard=not opt.no_tensorboard,
+                           enabled=jax.process_index() == 0)
 
     scale = 1 if phase == "denoise" else opt.scale
     cfg = LoaderConfig(
@@ -128,10 +130,24 @@ def run_training(opt) -> None:
     import math
 
     n_dev = jax.device_count()
-    n_data = math.gcd(opt.batch_size, n_dev)
-    if n_data != n_dev:
-        print(f"Train: batch_size={opt.batch_size} not divisible by {n_dev} "
-              f"devices; using a {n_data}-device data mesh")
+    if jax.process_count() > 1:
+        # Multi-host: --batch_size is PER HOST (each host loads its manifest
+        # stripe); global batch = batch_size * process_count. The mesh spans
+        # every host's devices, so it cannot be shrunk — require a clean fit.
+        local_dev = jax.local_device_count()
+        if opt.batch_size % local_dev:
+            raise SystemExit(
+                f"multi-host: per-host --batch_size {opt.batch_size} must be "
+                f"divisible by the local device count {local_dev}"
+            )
+        print(f"Train: multi-host {jax.process_count()} processes, "
+              f"global batch {opt.batch_size * jax.process_count()}")
+        n_data = n_dev
+    else:
+        n_data = math.gcd(opt.batch_size, n_dev)
+        if n_data != n_dev:
+            print(f"Train: batch_size={opt.batch_size} not divisible by {n_dev} "
+                  f"devices; using a {n_data}-device data mesh")
     mesh = make_mesh(n_data=n_data, n_tile=1)
     data_shard = batch_sharding(mesh)
     repl = replicated_sharding(mesh)
@@ -319,10 +335,11 @@ def run_training(opt) -> None:
                         _ser.to_state_dict(d_state.opt_state)
                     )
                     extra["d_step"] = int(jax.device_get(d_state.step))
-            save_checkpoint(
-                ckpt_path, state, epoch, mean, std, losses,
-                final=final, extra=extra,
-            )
+            if jax.process_index() == 0:  # one writer in multi-host runs
+                save_checkpoint(
+                    ckpt_path, state, epoch, mean, std, losses,
+                    final=final, extra=extra,
+                )
 
         if eval_fn is not None and eval_loader is not None and (
             (epoch + 1) % opt.eval_every == 0

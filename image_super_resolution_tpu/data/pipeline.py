@@ -360,10 +360,19 @@ class DevicePrefetcher:
 
     def _fill(self):
         try:
+            multi_host = jax.process_count() > 1
             for batch in self._it:
-                arr = jnp.asarray(batch)
                 if self._sharding is not None:
-                    arr = jax.device_put(arr, self._sharding)
+                    if multi_host:
+                        # each host loads its manifest stripe: this batch is
+                        # the PER-PROCESS portion of the global batch
+                        arr = jax.make_array_from_process_local_data(
+                            self._sharding, np.asarray(batch)
+                        )
+                    else:
+                        arr = jax.device_put(jnp.asarray(batch), self._sharding)
+                else:
+                    arr = jnp.asarray(batch)
                 self._q.put(arr)
         except BaseException as e:  # propagate to the consumer, never swallow
             self._exc = e

@@ -18,11 +18,25 @@ import numpy as np
 
 
 class MetricsLogger:
-    def __init__(self, work_dir: str | Path, run_name: str = "run", use_tensorboard: bool = True):
+    def __init__(
+        self,
+        work_dir: str | Path,
+        run_name: str = "run",
+        use_tensorboard: bool = True,
+        enabled: bool = True,
+    ):
+        """``enabled=False`` makes every method a no-op — multi-host training
+        passes ``jax.process_index() == 0`` so only one process writes the
+        JSONL/TensorBoard streams (all hosts hold identical replicated
+        metrics; concurrent writers would corrupt the files)."""
+        self.enabled = bool(enabled)
         self.work_dir = Path(work_dir)
+        self._jsonl = None
+        self._tb = None
+        if not self.enabled:
+            return
         self.work_dir.mkdir(parents=True, exist_ok=True)
         self._jsonl = open(self.work_dir / f"{run_name}_metrics.jsonl", "a")
-        self._tb = None
         if use_tensorboard:
             try:
                 from torch.utils.tensorboard import SummaryWriter
@@ -35,6 +49,8 @@ class MetricsLogger:
                 self._tb = None
 
     def scalar(self, tag: str, value: float, step: int) -> None:
+        if self._jsonl is None:
+            return
         self._jsonl.write(
             json.dumps({"t": time.time(), "tag": tag, "value": float(value), "step": int(step)})
             + "\n"
@@ -53,12 +69,15 @@ class MetricsLogger:
             self._tb.add_images(tag, np.asarray(batch_u8), step, dataformats="NHWC")
 
     def flush(self) -> None:
+        if self._jsonl is None:
+            return
         self._jsonl.flush()
         if self._tb is not None:
             self._tb.flush()
 
     def close(self) -> None:
         self.flush()
-        self._jsonl.close()
+        if self._jsonl is not None:
+            self._jsonl.close()
         if self._tb is not None:
             self._tb.close()

@@ -1,0 +1,25 @@
+"""Worker for tests/test_multihost.py: one process of a 2-process
+jax.distributed run driving the REAL train CLI. Launched in a subprocess
+with JAX_PLATFORMS=cpu + 4 virtual devices per process."""
+
+import sys
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+pid, port, ws = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+jax.distributed.initialize(
+    coordinator_address=f"127.0.0.1:{port}", num_processes=2, process_id=pid
+)
+assert jax.process_count() == 2 and jax.device_count() == 8
+
+from image_super_resolution_tpu.cli.train import main as train_main  # noqa: E402
+
+train_main([
+    "--resnet", "--scale", "2", "--save_name", "mh",
+    "--train_json", f"{ws}/train_images.json", "--work_dir", ws,
+    "--epochs", "1", "--batch_size", "4", "--rs_deep", "1", "--shape", "32",
+    "--no_tensorboard", "--worker", "2", "--loader_backend", "python",
+])
+print(f"WORKER {pid} DONE", flush=True)
