@@ -34,7 +34,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--worker", type=int, default=4, help="accepted for parity; unused")
     parser.add_argument("--overlap", type=int, default=8)
     parser.add_argument("--spatial_devices", type=int, default=1,
-                        help="shard large images over N chips (halo exchange)")
+                        help="shard large images over N chips (halo exchange); "
+                             "applies to the single-image/folder path — video "
+                             "frames batch over the data axis instead")
     parser.add_argument("--codec", type=str, default=None,
                         help="ffmpeg video encoder (e.g. libx264, hevc_nvenc, "
                              "hevc_vaapi); default libx264. Replaces the "
