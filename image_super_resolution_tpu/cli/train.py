@@ -34,7 +34,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     parser.add_argument("--batch_size", type=int, default=16)
     parser.add_argument("--work_dir", type=str, default="./")
-    parser.add_argument("--momentum", type=float, default=0.999, help="adam beta2")
+    parser.add_argument(
+        "--momentum", type=float, default=0.999,
+        help="adam beta2 (documented deviation: the reference parses this "
+             "flag but never uses it — its Adam betas are hardcoded "
+             "(0.9, 0.999), reference train.py:148,265. Here it is live; the "
+             "default reproduces the reference exactly. See docs/MIGRATION.md)",
+    )
     parser.add_argument("--weight_decay", type=float, default=0.0)
     parser.add_argument("--lr", type=float, default=1e-4)
     parser.add_argument("--epochs", type=int, default=300)
@@ -53,7 +59,9 @@ def build_parser() -> argparse.ArgumentParser:
     # --- TPU-native additions ---
     parser.add_argument("--train_json", type=str, default="./train_images.json")
     parser.add_argument("--vgg_weights", type=str, default=None,
-                        help="npz of VGG19 ImageNet weights for the perceptual loss")
+                        help="VGG19 ImageNet weights for the perceptual loss: "
+                             "an npz, or a raw torchvision .pth/.pt state_dict "
+                             "(auto-converted to a cached npz beside it)")
     parser.add_argument("--eval_json", type=str, default=None)
     parser.add_argument("--eval_every", type=int, default=0, help="epochs between evals")
     parser.add_argument("--no_tensorboard", action="store_true")
@@ -230,7 +238,10 @@ def run_training(opt) -> None:
 
     # Reference dumps the first 10 batches of hr/lr images to TensorBoard as a
     # visual pipeline check when not resuming (train.py:250-256).
-    if not opt.resume and phase != "denoise":
+    if not opt.resume and phase != "denoise" and jax.process_index() == 0:
+        # (proc 0 only: the dump is host-local decode + TB writes, no
+        # collectives — other hosts would decode 10 batches into a disabled
+        # logger.)
         from ..data.degrade import downscale
 
         for idx, batch in enumerate(loader):
@@ -267,30 +278,33 @@ def run_training(opt) -> None:
         start_step = int(state.step)
         pending = []
         t0 = None
-        for batch in DevicePrefetcher(iter(loader), sharding=data_shard):
-            # Profile steps 2-4 (past compilation) when requested.
-            if opt.profile_dir and global_step == 2 and profiler_ctx is None:
-                profiler_ctx = trace(opt.profile_dir)
-                profiler_ctx.__enter__()
-            if phase == "gan":
-                state, d_state, metrics = step_fn(state, d_state, batch)
-            elif phase == "denoise":
-                denoise_rng, sub = jax.random.split(denoise_rng)
-                state, metrics = step_fn(state, batch, sub)
-            else:
-                state, metrics = step_fn(state, batch)
-            pending.append(metrics)
-            global_step += 1
-            if t0 is None:  # time from first step dispatch (skips compile)
-                jax.block_until_ready(metrics)
-                import time as _time
+        # The with-block reclaims the producer thread even when a step raises
+        # (an abandoned put-blocked producer would otherwise leak).
+        with DevicePrefetcher(iter(loader), sharding=data_shard) as prefetcher:
+            for batch in prefetcher:
+                # Profile steps 2-4 (past compilation) when requested.
+                if opt.profile_dir and global_step == 2 and profiler_ctx is None:
+                    profiler_ctx = trace(opt.profile_dir)
+                    profiler_ctx.__enter__()
+                if phase == "gan":
+                    state, d_state, metrics = step_fn(state, d_state, batch)
+                elif phase == "denoise":
+                    denoise_rng, sub = jax.random.split(denoise_rng)
+                    state, metrics = step_fn(state, batch, sub)
+                else:
+                    state, metrics = step_fn(state, batch)
+                pending.append(metrics)
+                global_step += 1
+                if t0 is None:  # time from first step dispatch (skips compile)
+                    jax.block_until_ready(metrics)
+                    import time as _time
 
-                t0 = _time.perf_counter()
-            if profiler_ctx is not None and global_step == 5:
-                jax.block_until_ready(metrics)
-                profiler_ctx.__exit__(None, None, None)
-                profiler_ctx = None
-                print(f"profiler trace written to {opt.profile_dir}")
+                    t0 = _time.perf_counter()
+                if profiler_ctx is not None and global_step == 5:
+                    jax.block_until_ready(metrics)
+                    profiler_ctx.__exit__(None, None, None)
+                    profiler_ctx = None
+                    print(f"profiler trace written to {opt.profile_dir}")
         if not pending:
             raise RuntimeError(
                 "epoch produced zero training batches — the input pipeline is "
@@ -344,7 +358,20 @@ def run_training(opt) -> None:
         if eval_fn is not None and eval_loader is not None and (
             (epoch + 1) % opt.eval_every == 0
         ):
-            ms = [eval_fn(state, b) for _, b in zip(range(8), iter(eval_loader))]
+            # Multi-host: the eval loader is UNSTRIPED (same manifest + seed on
+            # every host -> identical batch sequence), and each local batch
+            # must become a global array before the jitted eval runs over the
+            # globally-sharded state. Every process takes this branch in
+            # lockstep, so the SPMD programs stay aligned.
+            def to_global(b):
+                if jax.process_count() > 1:
+                    return jax.make_array_from_process_local_data(
+                        data_shard, np.asarray(b)
+                    )
+                return b
+
+            ms = [eval_fn(state, to_global(b))
+                  for _, b in zip(range(8), iter(eval_loader))]
             agg = {k: float(np.mean([float(m[k]) for m in ms])) for k in ms[0]}
             logger.scalars({f"eval/{k}": v for k, v in agg.items()}, int(state.step))
             print(f"Eval [{epoch}] " + " ".join(f"{k}={v:.3f}" for k, v in agg.items()))

@@ -124,14 +124,28 @@ class PatchLoader:
             self.samples = list(manifest)
         if not self.samples:
             raise ValueError("empty manifest")
+        # The full (pre-stripe) manifest: dataset statistics must be computed
+        # over this so every host bakes IDENTICAL mean/std constants into its
+        # jitted program (striped stats would make hosts compile different
+        # programs — silently divergent normalization).
+        self.full_samples = list(self.samples)
         # Multi-host DP: each host loads a disjoint stripe of the manifest
         # (pass jax.process_index()/jax.process_count(); defaults single-host).
+        # Stripes MUST be equal length: every host runs the same number of
+        # lockstep SPMD steps per epoch, and a host that runs one extra step
+        # blocks forever in its gradient psum while the others exit (confirmed
+        # deadlock + cluster death with 23 images / 2 processes). So the
+        # manifest remainder (< process_count images) is dropped — the
+        # multi-host analog of drop_last.
         if process_count and process_count > 1:
-            self.samples = self.samples[process_index or 0 :: process_count]
-            if not self.samples:
+            per_host = len(self.samples) // process_count
+            if per_host == 0:
                 raise ValueError(
                     f"manifest smaller than process_count={process_count}"
                 )
+            keep = per_host * process_count
+            self.samples = self.samples[:keep][process_index or 0 :: process_count]
+            assert len(self.samples) == per_host
         self.config = config
         self.patch = ground_up(config.patch_size, max(config.scale, 1))
         self._epoch = 0
@@ -152,11 +166,16 @@ class PatchLoader:
 
     def calculate_stats(self, max_images: int = 512) -> Tuple[list, list]:
         """Dataset mean/std via running sums (the reference's intent at
-        datasets.py:308-337, whose implementation was broken — SURVEY.md §2.2)."""
+        datasets.py:308-337, whose implementation was broken — SURVEY.md §2.2).
+
+        Always computed over the FULL manifest (not the per-host stripe), so
+        in multi-host runs every process derives the same constants and all
+        SPMD programs compile identically.
+        """
         s = np.zeros(3)
         ss = np.zeros(3)
         count = 0
-        for path in self.samples[:max_images]:
+        for path in self.full_samples[:max_images]:
             img = _read_rgb(path)
             if img is None:
                 continue
@@ -355,13 +374,28 @@ class DevicePrefetcher:
         self._q: "queue.Queue" = queue.Queue(maxsize=depth)
         self._done = object()
         self._exc: Optional[BaseException] = None
+        self._stop = threading.Event()
         self._thread = threading.Thread(target=self._fill, daemon=True)
         self._thread.start()
+
+    def _put(self, item) -> bool:
+        """Bounded put that gives up when the consumer called close() —
+        otherwise an abandoned iteration (exception in the step loop) leaves
+        this producer blocked on Queue.put forever."""
+        while not self._stop.is_set():
+            try:
+                self._q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def _fill(self):
         try:
             multi_host = jax.process_count() > 1
             for batch in self._it:
+                if self._stop.is_set():
+                    return
                 if self._sharding is not None:
                     if multi_host:
                         # each host loads its manifest stripe: this batch is
@@ -373,11 +407,29 @@ class DevicePrefetcher:
                         arr = jax.device_put(jnp.asarray(batch), self._sharding)
                 else:
                     arr = jnp.asarray(batch)
-                self._q.put(arr)
+                if not self._put(arr):
+                    return
         except BaseException as e:  # propagate to the consumer, never swallow
             self._exc = e
         finally:
-            self._q.put(self._done)
+            self._put(self._done)
+
+    def close(self) -> None:
+        """Stop the producer and reclaim its thread (call from a finally)."""
+        self._stop.set()
+        while True:  # drain so a put-blocked producer can observe the stop
+            try:
+                self._q.get_nowait()
+            except queue.Empty:
+                break
+        self._thread.join(timeout=30)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
 
     def __iter__(self):
         return self

@@ -1,6 +1,13 @@
 """Worker for tests/test_multihost.py: one process of a 2-process
 jax.distributed run driving the REAL train CLI. Launched in a subprocess
-with JAX_PLATFORMS=cpu + 4 virtual devices per process."""
+with JAX_PLATFORMS=cpu + 4 virtual devices per process.
+
+argv: pid port workdir phase(pixel|gan|pixel+gan) [extra train flags...]
+The gan phase warm-starts from the pixel checkpoint, so "pixel+gan" runs
+both sequentially in the same distributed processes — covering the GAN
+cross-process seam (two optimizers + perceptual loss + D state) that a
+pixel-only smoke never exercises.
+"""
 
 import sys
 
@@ -9,6 +16,9 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 
 pid, port, ws = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+phases = sys.argv[4].split("+") if len(sys.argv) > 4 else ["pixel"]
+extra = sys.argv[5:]
+
 jax.distributed.initialize(
     coordinator_address=f"127.0.0.1:{port}", num_processes=2, process_id=pid
 )
@@ -16,10 +26,16 @@ assert jax.process_count() == 2 and jax.device_count() == 8
 
 from image_super_resolution_tpu.cli.train import main as train_main  # noqa: E402
 
-train_main([
-    "--resnet", "--scale", "2", "--save_name", "mh",
+common = [
+    "--scale", "2", "--save_name", "mh",
     "--train_json", f"{ws}/train_images.json", "--work_dir", ws,
     "--epochs", "1", "--batch_size", "4", "--rs_deep", "1", "--shape", "32",
     "--no_tensorboard", "--worker", "2", "--loader_backend", "python",
-])
+]
+for phase in phases:
+    args = common + extra
+    if phase == "pixel":
+        args = ["--resnet"] + args
+    train_main(args)
+    print(f"WORKER {pid} PHASE {phase} DONE", flush=True)
 print(f"WORKER {pid} DONE", flush=True)

@@ -135,6 +135,29 @@ def test_patch_loader_multihost_striping(image_dir, tmp_path):
     assert not (set(shards[0]) & set(shards[1]))
 
 
+def test_patch_loader_uneven_manifest_equal_stripes():
+    """Hosts MUST agree on steps_per_epoch for any manifest size — unequal
+    striping deadlocks the lockstep SPMD train loop (round-2 confirmed bug:
+    23 images / 2 procs / batch 4 hung host 0 in its step-3 psum). The
+    remainder (< process_count samples) is dropped, drop_last-style."""
+    manifest = [f"/fake/{i}.jpg" for i in range(23)]
+    cfg = LoaderConfig(batch_size=4, patch_size=32, scale=2)
+    loaders = [
+        PatchLoader(manifest, cfg, process_index=i, process_count=2)
+        for i in range(2)
+    ]
+    assert [len(l.samples) for l in loaders] == [11, 11]
+    assert loaders[0].steps_per_epoch == loaders[1].steps_per_epoch == 2
+    assert not (set(loaders[0].samples) & set(loaders[1].samples))
+    # exactly the truncation remainder is dropped, and the full manifest is
+    # retained for global statistics (--mean must bake IDENTICAL constants
+    # into every host's program)
+    covered = set(loaders[0].samples) | set(loaders[1].samples)
+    assert covered == set(manifest[:22])
+    for l in loaders:
+        assert l.full_samples == manifest
+
+
 def test_device_prefetcher_reraises_producer_errors():
     """Round-1 bug: a producer-thread failure (e.g. a device_put sharding
     error) was swallowed, silently truncating the epoch to zero steps."""
@@ -164,3 +187,27 @@ def test_device_prefetcher_bad_sharding_fails_loudly():
     batches = iter([np.zeros((2, 4, 4, 3), np.uint8)])  # 2 % 8 != 0
     with pytest.raises(RuntimeError, match="producer thread failed"):
         next(DevicePrefetcher(batches, sharding=shard))
+
+
+def test_device_prefetcher_close_reclaims_producer():
+    """An abandoned iteration (e.g. exception in the step loop) must not leak
+    a producer thread blocked on Queue.put — close() stops and joins it."""
+    from image_super_resolution_tpu.data.pipeline import DevicePrefetcher
+
+    def infinite():
+        while True:
+            yield np.zeros((2, 4, 4, 3), np.uint8)
+
+    pf = DevicePrefetcher(infinite(), depth=1)
+    next(pf)  # producer alive and soon blocked on a full queue
+    pf.close()
+    assert not pf._thread.is_alive()
+
+
+def test_device_prefetcher_context_manager():
+    from image_super_resolution_tpu.data.pipeline import DevicePrefetcher
+
+    with DevicePrefetcher(iter([np.zeros((1, 4, 4, 3), np.uint8)])) as pf:
+        batches = list(pf)
+    assert len(batches) == 1
+    assert not pf._thread.is_alive()

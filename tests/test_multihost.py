@@ -6,9 +6,20 @@ collective backend, single-writer checkpointing.
 
 This is the piece the in-process 8-device mesh tests CANNOT cover: real
 process boundaries, a real coordinator, and non-addressable devices.
+
+Case coverage (each was a confirmed or suspected round-2 failure mode):
+- UNEVEN manifest (23 images / 2 procs): round 2 striped [pid::count] and
+  derived steps_per_epoch per host, deadlocking host 0 in its step-3 psum
+  while host 1 exited; equal-length stripes must give both hosts the same
+  step count.
+- --mean: stats must come from the FULL manifest so hosts compile identical
+  programs.
+- --eval_every: eval batches must become global arrays in lockstep.
+- GAN phase across processes: two optimizers + perceptual loss + D state.
 """
 
 import os
+import socket
 import subprocess
 import sys
 from pathlib import Path
@@ -35,7 +46,15 @@ def _scrubbed_env(n_local_devices: int) -> dict:
     return env
 
 
-def test_two_process_train_cli(tmp_path):
+def _free_port() -> str:
+    # Ephemeral port instead of a hardcoded one: parallel CI shards or a
+    # leaked coordinator from a timed-out run would otherwise collide.
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return str(s.getsockname()[1])
+
+
+def _make_manifest(tmp_path, n_images: int) -> None:
     from PIL import Image
 
     from image_super_resolution_tpu.cli.create_json import main as cj
@@ -43,18 +62,21 @@ def test_two_process_train_cli(tmp_path):
     img_dir = tmp_path / "imgs"
     img_dir.mkdir()
     rng = np.random.default_rng(0)
-    for i in range(16):
+    for i in range(n_images):
         Image.fromarray(
             rng.integers(0, 255, (48, 48, 3), dtype=np.uint8)
         ).save(img_dir / f"i{i}.png")
     cj(["--train_dirs", str(img_dir), "--shape", "32", "--output", str(tmp_path)])
 
+
+def _run_workers(tmp_path, phase: str, extra=(), timeout=540):
     env = _scrubbed_env(4)
     worker = str(REPO / "tests" / "multihost_worker.py")
-    port = "9757"
+    port = _free_port()
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, str(pid), port, str(tmp_path)],
+            [sys.executable, worker, str(pid), port, str(tmp_path), phase,
+             *extra],
             env=env, cwd=str(REPO),
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         )
@@ -62,19 +84,55 @@ def test_two_process_train_cli(tmp_path):
     ]
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=540)
+        out, _ = p.communicate(timeout=timeout)
         outs.append(out)
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
         assert f"WORKER {pid} DONE" in out
+    return outs
 
-    # both processes saw the multi-host config; process 0 wrote the ckpt
+
+def test_two_process_uneven_manifest_with_mean_and_eval(tmp_path):
+    """23 images / 2 processes: the round-2 repro that deadlocked. Equal
+    stripes (11 each, remainder dropped) must complete on BOTH workers, with
+    --mean (global stats) and --eval_every (lockstep global eval batches)."""
+    _make_manifest(tmp_path, 23)
+    outs = _run_workers(
+        tmp_path, "pixel",
+        extra=["--mean", "--eval_every", "1",
+               "--eval_json", str(tmp_path / "train_images.json")],
+    )
+
     assert "multi-host 2 processes, global batch 8" in outs[0]
-    ckpt = tmp_path / "res_mh_1_0.2.ckpt"
-    assert ckpt.exists()
+    # both hosts must agree on the stripe length AND the step count
+    for out in outs:
+        assert "11 images, 2 steps/epoch" in out
+    # eval ran on proc 0 (and did not desync proc 1, which also completed)
+    assert "Eval [0]" in outs[0]
 
     from image_super_resolution_tpu.train import load_checkpoint
 
+    ckpt = tmp_path / "res_mh_1_0.2.ckpt"
+    assert ckpt.exists()
     meta = load_checkpoint(ckpt)["meta"]
     assert meta["step"] > 0
     assert np.all(np.isfinite(meta["loss"]))
+
+
+def test_two_process_gan_phase(tmp_path):
+    """Pixel pretrain then GAN fine-tune across real process boundaries —
+    the GAN step's two optimizers, perceptual loss, and D state have to run
+    the same collective program on both hosts."""
+    _make_manifest(tmp_path, 16)
+    outs = _run_workers(tmp_path, "pixel+gan", timeout=900)
+    for pid, out in enumerate(outs):
+        assert f"WORKER {pid} PHASE pixel DONE" in out
+        assert f"WORKER {pid} PHASE gan DONE" in out
+
+    from image_super_resolution_tpu.train import load_checkpoint
+
+    ckpt = tmp_path / "gen_mh_1_0.2.ckpt"
+    assert ckpt.exists()
+    data = load_checkpoint(ckpt)
+    assert "d_params" in data  # D state saved by the single writer
+    assert np.all(np.isfinite(data["meta"]["loss"]))
