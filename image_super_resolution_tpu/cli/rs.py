@@ -35,8 +35,20 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--overlap", type=int, default=8)
     parser.add_argument("--spatial_devices", type=int, default=1,
                         help="shard large images over N chips (halo exchange); "
-                             "applies to the single-image/folder path — video "
-                             "frames batch over the data axis instead")
+                             "applies to the single-image/folder path — for "
+                             "video/batch throughput use --data_devices")
+    parser.add_argument("--spatial_grid", type=int, nargs=2, default=None,
+                        metavar=("NY", "NX"),
+                        help="2-D generalization of --spatial_devices: shard "
+                             "one image over an NYxNX device grid with halo "
+                             "exchange in both dimensions (less halo overhead "
+                             "than 1-D row bands at 8+ chips)")
+    parser.add_argument("--data_devices", type=int, default=1,
+                        help="shard tile/frame batches over N chips (data "
+                             "axis) — multi-chip serving throughput for the "
+                             "tiled image, folder, and video paths; 0 = all "
+                             "local devices. Mutually exclusive with "
+                             "--spatial_devices")
     parser.add_argument("--codec", type=str, default=None,
                         help="ffmpeg video encoder (e.g. libx264, hevc_nvenc, "
                              "hevc_vaapi); default libx264. Replaces the "
@@ -60,6 +72,8 @@ def run(
     overlap: int = 8,
     worker: int = 4,
     spatial_devices: int = 1,
+    data_devices: int = 1,
+    spatial_grid=None,
     codec: str | None = None,
 ) -> Path:
     from ..infer.engine import TiledUpscaler
@@ -72,6 +86,8 @@ def run(
         overlap=overlap,
         batch_size=batch_size,
         spatial_devices=spatial_devices,
+        data_devices=data_devices,
+        spatial_grid=spatial_grid,
     )
     src_path = Path(src)
     out_path = Path(save_dir)
@@ -96,14 +112,27 @@ def run(
         from collections import Counter
 
         stem_counts = Counter(p.stem for p in images)
+        bases = [
+            p.name[: -len(p.suffix)] if stem_counts[p.stem] == 1
+            else p.name.replace(".", "_")
+            for p in images
+        ]
+        # Dot-folding can STILL collide with a distinct source (photo.jpg vs
+        # photo_jpg.png both -> photo_jpg.png): uniquify with a numeric
+        # suffix so no batch output silently overwrites another.
+        used: set = set()
+        out_names = []
+        for base in bases:
+            name, k = f"{base}.png", 1
+            while name in used:
+                name = f"{base}_{k}.png"
+                k += 1
+            used.add(name)
+            out_names.append(name)
         failed = []
-        for p in images:
-            base = (
-                p.name[: -len(p.suffix)] if stem_counts[p.stem] == 1
-                else p.name.replace(".", "_")
-            )
+        for p, out_name in zip(images, out_names):
             try:
-                _run_image(engine, p, out_path / f"{base}.png")
+                _run_image(engine, p, out_path / out_name)
             except Exception as e:  # one bad file must not kill the batch
                 import warnings
 

@@ -17,6 +17,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 TILE_AXIS = "tile"
+# 2-D spatial-parallel axes (parallel/spatial.py spatial_apply_2d): at 8+
+# devices 1-D row bands of a square image go thin relative to the halo, so a
+# near-square (tile_y, tile_x) grid halves halo overhead.
+TILE_Y_AXIS = "tile_y"
+TILE_X_AXIS = "tile_x"
 
 
 def distributed_init() -> None:
@@ -58,6 +63,19 @@ def make_mesh(
         raise ValueError(f"requested {use} devices, only {n_total} available")
     dev_array = np.asarray(devices[:use]).reshape(n_data, n_tile)
     return Mesh(dev_array, (DATA_AXIS, TILE_AXIS))
+
+
+def make_spatial_mesh(
+    n_y: int, n_x: int = 1, devices: Optional[Sequence[jax.Device]] = None
+) -> Mesh:
+    """2-D (tile_y, tile_x) mesh for spatially-sharded inference."""
+    if devices is None:
+        devices = jax.devices()
+    use = n_y * n_x
+    if use > len(devices):
+        raise ValueError(f"requested {use} devices, only {len(devices)} available")
+    dev_array = np.asarray(devices[:use]).reshape(n_y, n_x)
+    return Mesh(dev_array, (TILE_Y_AXIS, TILE_X_AXIS))
 
 
 def local_mesh() -> Mesh:

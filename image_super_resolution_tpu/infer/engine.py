@@ -17,6 +17,26 @@ from ..models.deploy import DeployedModel
 from .tiling import upscale_tiled
 
 
+def _xla_runtime_errors() -> tuple:
+    """Exception classes that can carry a device OOM. Narrow on purpose: an
+    unrelated Python error that merely QUOTES 'Out of memory' must not latch
+    the engine into tiling mode."""
+    errs = []
+    try:
+        from jax.errors import JaxRuntimeError
+
+        errs.append(JaxRuntimeError)
+    except ImportError:
+        pass
+    try:
+        from jaxlib.xla_extension import XlaRuntimeError
+
+        errs.append(XlaRuntimeError)
+    except ImportError:
+        pass
+    return tuple(errs) or (RuntimeError,)
+
+
 class TiledUpscaler:
     def __init__(
         self,
@@ -25,34 +45,96 @@ class TiledUpscaler:
         overlap: int = 8,
         batch_size: int = 8,
         spatial_devices: int = 1,
+        data_devices: int = 1,
+        spatial_grid=None,
     ):
         """window=0 selects whole-image (untiled) inference — fastest when
-        the image fits HBM (no overlap recompute, one dispatch)."""
+        the image fits HBM (no overlap recompute, one dispatch).
+
+        ``data_devices > 1`` shards tile/frame BATCHES over a ``data`` mesh
+        axis (the serving analog of DP training): each tile batch in
+        ``upscale_image`` and each frame batch in ``upscale_batch`` splits
+        across chips, with XLA keeping the whole computation on-device.
+        Mutually exclusive with ``spatial_devices`` (which row-shards ONE
+        huge image with halo exchange instead); ``data_devices=0`` means
+        all local devices.
+
+        ``spatial_grid=(ny, nx)`` is the 2-D generalization of
+        ``spatial_devices``: shard ONE image over a (tile_y, tile_x) device
+        grid with halo exchange in both dimensions — at 8+ devices a
+        near-square grid halves halo overhead vs 1-D row bands.
+        """
         self.deployed = deployed
         self.window = window
         self.overlap = overlap
         self.batch_size = batch_size
         self.spatial_devices = spatial_devices
+        self.spatial_grid = tuple(spatial_grid) if spatial_grid else None
+        if self.spatial_grid and self.spatial_grid[0] * self.spatial_grid[1] <= 1:
+            self.spatial_grid = None
         self._spatial_mesh = None
-        if spatial_devices > 1:
+        self._spatial_mesh_2d = None
+        if data_devices == 0:
+            data_devices = jax.local_device_count()
+        self.data_devices = data_devices
+        self._data_sharding = None
+        self._chunk_sharding = None
+        n_modes = sum(
+            [spatial_devices > 1, data_devices > 1, self.spatial_grid is not None]
+        )
+        if n_modes > 1:
+            raise ValueError(
+                "spatial_devices, spatial_grid, and data_devices are mutually "
+                "exclusive: shard one huge image (1-D rows or 2-D grid) OR "
+                "batch-shard many tiles/frames"
+            )
+        if self.spatial_grid is not None:
+            from ..core.mesh import make_spatial_mesh
+
+            self._spatial_mesh_2d = make_spatial_mesh(*self.spatial_grid)
+        elif spatial_devices > 1:
             from ..core.mesh import make_mesh
 
             self._spatial_mesh = make_mesh(n_data=1, n_tile=spatial_devices)
+        elif data_devices > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..core.mesh import DATA_AXIS, batch_sharding, make_mesh
+
+            mesh = make_mesh(n_data=data_devices, n_tile=1)
+            self._data_sharding = batch_sharding(mesh)
+            # tile chunks are (n_chunks, batch, h, w, c): shard the
+            # WITHIN-chunk batch dim so lax.map over chunks keeps every
+            # device busy on every dispatch
+            self._chunk_sharding = NamedSharding(mesh, P(None, DATA_AXIS))
+            # equal per-device work requires batch % data_devices == 0
+            self.batch_size = -(-batch_size // data_devices) * data_devices
 
     # -- whole frames (video path): fixed shape, one compiled program -------
     def upscale_batch(self, batch_u8: np.ndarray) -> np.ndarray:
         """uint8 NHWC RGB -> uint8 NHWC RGB at the model scale."""
-        return np.asarray(self.deployed(jnp.asarray(batch_u8)))
+        if self._data_sharding is None:
+            return np.asarray(self.deployed(jnp.asarray(batch_u8)))
+        n = batch_u8.shape[0]
+        pad = -n % self.data_devices
+        if pad:  # fixed per-device shapes: repeat the last frame, crop after
+            batch_u8 = np.concatenate(
+                [batch_u8, np.repeat(batch_u8[-1:], pad, axis=0)]
+            )
+        arr = jax.device_put(jnp.asarray(batch_u8), self._data_sharding)
+        return np.asarray(self.deployed(arr))[:n]
 
     # -- arbitrary-size single images: overlap tiling ------------------------
     def upscale_image(self, image_u8: np.ndarray) -> np.ndarray:
         """uint8 HWC RGB of any size -> uint8 HWC RGB."""
+        if self._spatial_mesh_2d is not None:
+            return self._upscale_spatial_2d(image_u8)
         if self._spatial_mesh is not None:
             return self._upscale_spatial(image_u8)
         if self.window == 0:  # whole-image mode
             try:
                 return np.asarray(self.deployed(jnp.asarray(image_u8[None])))[0]
-            except Exception as e:  # HBM OOM on huge images: tile instead
+            except _xla_runtime_errors() as e:  # HBM OOM on huge images: tile
                 msg = str(e)
                 if "RESOURCE_EXHAUSTED" not in msg and "Out of memory" not in msg:
                     raise
@@ -68,7 +150,8 @@ class TiledUpscaler:
                 self.window = 96
         return upscale_tiled(
             self.deployed, image_u8,
-            window=self.window or 96, overlap=self.overlap, batch_size=self.batch_size,
+            window=self.window or 96, overlap=self.overlap,
+            batch_size=self.batch_size, sharding=self._chunk_sharding,
         )
 
     def _upscale_spatial(self, image_u8: np.ndarray) -> np.ndarray:
@@ -100,6 +183,39 @@ class TiledUpscaler:
             return tanh_to_uint8(model.apply({"params": params}, x))
 
         out = spatial_apply(
+            net_apply, self.deployed.params, jnp.asarray(padded[None]),
+            mesh, halo=halo, scale=spec.output_scale,
+        )
+        s = spec.output_scale
+        return np.asarray(out[0])[: h * s, : w * s]
+
+    def _upscale_spatial_2d(self, image_u8: np.ndarray) -> np.ndarray:
+        """2-D (tile_y, tile_x) grid sharding with halo exchange in both
+        dimensions (parallel/spatial.py spatial_apply_2d)."""
+        from ..data.transforms import normalize, tanh_to_uint8
+        from ..parallel.spatial import spatial_apply_2d
+
+        spec = self.deployed.spec
+        mesh = self._spatial_mesh_2d
+        ny, nx = self.spatial_grid
+        halo = max(self.overlap, 8)
+        h, w = image_u8.shape[:2]
+        band_h = max(-(-h // ny), halo + 1)
+        band_w = max(-(-w // nx), halo + 1)
+        padded = np.pad(
+            image_u8,
+            ((0, band_h * ny - h), (0, band_w * nx - w), (0, 0)),
+            mode="reflect",
+        )
+        mean = tuple(float(v) for v in spec.mean)
+        std = tuple(float(v) for v in spec.std)
+        model = self.deployed.model  # layout-matching module (see .model doc)
+
+        def net_apply(params, u8):
+            x = normalize(u8, mean, std)
+            return tanh_to_uint8(model.apply({"params": params}, x))
+
+        out = spatial_apply_2d(
             net_apply, self.deployed.params, jnp.asarray(padded[None]),
             mesh, halo=halo, scale=spec.output_scale,
         )

@@ -52,11 +52,18 @@ def upscale_tiled(
     window: int = 96,
     overlap: int = 8,
     batch_size: int = 8,
+    sharding=None,
 ) -> np.ndarray:
     """Tile -> batch -> model -> stitch. image: HWC uint8; returns HWC uint8.
 
     ``apply_fn`` maps a uint8 NHWC batch of ``window``-sized tiles to uint8
     NHWC outputs (any integer scale, auto-detected).
+
+    ``sharding`` (optional) places the (n_chunks, batch, h, w, c) tile stack
+    before dispatch — pass a ``P(None, 'data')`` NamedSharding to split every
+    tile batch across the chips of a data mesh (multi-chip serving; see
+    TiledUpscaler(data_devices=...)). Output is bitwise identical to the
+    unsharded path.
     """
     h, w = image.shape[:2]
     window = min(window, max(h, w) + 2 * overlap)
@@ -85,6 +92,8 @@ def upscale_tiled(
         tiles = np.concatenate([tiles, np.repeat(tiles[-1:], pad_n, axis=0)])
     chunks = jnp.asarray(tiles).reshape(n_chunks, batch_size, window, window,
                                         tiles.shape[-1])
+    if sharding is not None:
+        chunks = jax.device_put(chunks, sharding)
     out_chunks = jax.lax.map(apply_fn, chunks)
     out_tiles = np.asarray(out_chunks).reshape(
         n_chunks * batch_size, *out_chunks.shape[2:]

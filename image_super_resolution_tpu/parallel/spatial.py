@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from ..core.mesh import TILE_AXIS
+from ..core.mesh import TILE_AXIS, TILE_X_AXIS, TILE_Y_AXIS
 
 
 def spatial_apply(
@@ -79,5 +79,87 @@ def spatial_apply(
         out_specs=P(None, TILE_AXIS),
     )
     image = jax.device_put(image, NamedSharding(mesh, P(None, TILE_AXIS)))
+    params = jax.device_put(params, NamedSharding(mesh, P()))
+    return fn(params, image)
+
+
+def _halo_exchange(x, axis_name: str, n: int, halo: int, dim: int):
+    """Exchange ``halo``-wide slabs along spatial ``dim`` with both mesh
+    neighbors on ``axis_name``; mesh edges get reflect padding (np.pad
+    'reflect' semantics, edge row/col excluded) to match the single-chip
+    reflect-padded path bit-for-bit. Returns x extended by halo on both
+    sides of ``dim``."""
+    idx = jax.lax.axis_index(axis_name)
+    fwd = [(i, i + 1) for i in range(n - 1)]   # send my LAST slab forward
+    bwd = [(i, i - 1) for i in range(1, n)]    # send my FIRST slab backward
+    size = x.shape[dim]
+
+    def take(lo, hi):
+        return jax.lax.slice_in_dim(x, lo, hi, axis=dim)
+
+    first = take(0, halo)
+    last = take(size - halo, size)
+    from_before = jax.lax.ppermute(last, axis_name, fwd)
+    from_after = jax.lax.ppermute(first, axis_name, bwd)
+    reflect_before = jnp.flip(take(1, halo + 1), axis=dim)
+    reflect_after = jnp.flip(take(size - halo - 1, size - 1), axis=dim)
+    from_before = jnp.where(idx == 0, reflect_before, from_before)
+    from_after = jnp.where(idx == n - 1, reflect_after, from_after)
+    return jnp.concatenate([from_before, x, from_after], axis=dim)
+
+
+def spatial_apply_2d(
+    net_apply: Callable[[Dict[str, Any], jnp.ndarray], jnp.ndarray],
+    params: Dict[str, Any],
+    image: jnp.ndarray,
+    mesh: Mesh,
+    halo: int = 32,
+    scale: int = 2,
+) -> jnp.ndarray:
+    """2-D spatial parallelism: shard (H, W) over a (tile_y, tile_x) mesh
+    (core.mesh.make_spatial_mesh) with halo exchange in BOTH dimensions.
+
+    At 8+ devices, 1-D row bands of a square image go thin relative to the
+    halo (band ~H/8 vs 2*halo of recompute); a near-square grid halves the
+    halo-to-band ratio. Corner halos come for free from exchange ordering:
+    the column exchange runs on the row-EXTENDED block, so the slabs
+    received from x-neighbors already carry those neighbors' own row halos.
+
+    image: (N, H, W, C), H % tile_y == 0 and W % tile_x == 0.
+    Equality with single-device reflect-padded inference is tested
+    (tests/test_infer.py::test_spatial_2d_matches_single_device).
+    """
+    n_y = mesh.shape[TILE_Y_AXIS]
+    n_x = mesh.shape[TILE_X_AXIS]
+    if image.shape[1] % n_y or image.shape[2] % n_x:
+        raise ValueError(
+            f"H={image.shape[1]}, W={image.shape[2]} not divisible by "
+            f"tile grid ({n_y}, {n_x})"
+        )
+    band_h = image.shape[1] // n_y
+    band_w = image.shape[2] // n_x
+    if halo >= band_h or halo >= band_w:
+        raise ValueError(f"halo {halo} must be < band ({band_h}, {band_w})")
+
+    def local_fn(params, x):
+        # x: (N, band_h, band_w, C) local shard.
+        x = _halo_exchange(x, TILE_Y_AXIS, n_y, halo, dim=1)
+        x = _halo_exchange(x, TILE_X_AXIS, n_x, halo, dim=2)
+        out = net_apply(params, x)
+        return out[
+            :,
+            halo * scale : (halo + band_h) * scale,
+            halo * scale : (halo + band_w) * scale,
+        ]
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(), P(None, TILE_Y_AXIS, TILE_X_AXIS)),
+        out_specs=P(None, TILE_Y_AXIS, TILE_X_AXIS),
+    )
+    image = jax.device_put(
+        image, NamedSharding(mesh, P(None, TILE_Y_AXIS, TILE_X_AXIS))
+    )
     params = jax.device_put(params, NamedSharding(mesh, P()))
     return fn(params, image)

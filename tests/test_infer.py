@@ -245,7 +245,13 @@ def test_whole_image_oom_falls_back_to_tiling():
         def __call__(self, x):
             self.calls += 1
             if self.calls == 1:
-                raise RuntimeError("RESOURCE_EXHAUSTED: Out of memory in HBM")
+                from image_super_resolution_tpu.infer.engine import (
+                    _xla_runtime_errors,
+                )
+
+                raise _xla_runtime_errors()[0](
+                    "RESOURCE_EXHAUSTED: Out of memory in HBM"
+                )
             return self._inner(x)
 
     wrapped = OOMOnce(deployed)
@@ -254,3 +260,114 @@ def test_whole_image_oom_falls_back_to_tiling():
     out = up.upscale_image(img)
     assert out.shape == (200, 160, 3)
     assert wrapped.calls > 1  # fallback actually tiled
+
+
+def test_whole_image_non_xla_error_is_not_misread_as_oom():
+    """A generic Python error that merely QUOTES the OOM strings must
+    propagate, not silently latch the engine into tiling mode."""
+    from image_super_resolution_tpu.infer.engine import TiledUpscaler
+
+    deployed = small_deployed(scale=2)
+
+    class Broken:
+        spec = deployed.spec
+
+        def __call__(self, x):
+            raise RuntimeError("config parse failed near 'Out of memory'")
+
+    up = TiledUpscaler(Broken(), window=0, overlap=8, batch_size=4)
+    img = np.zeros((32, 32, 3), np.uint8)
+    with pytest.raises(RuntimeError, match="config parse failed"):
+        up.upscale_image(img)
+    assert up.window == 0  # fallback NOT latched
+
+
+def test_data_axis_sharded_serving_matches_single_device():
+    """Multi-chip serving (--data_devices): tile batches (upscale_image) and
+    frame batches (upscale_batch, incl. the non-divisible padding path) split
+    over the data mesh axis must be bitwise identical to single-device."""
+    from image_super_resolution_tpu.infer.engine import TiledUpscaler
+
+    deployed = small_deployed(scale=2)
+    rng = np.random.default_rng(7)
+    image = rng.integers(0, 255, (72, 88, 3), dtype=np.uint8)
+    single = TiledUpscaler(deployed, window=32, overlap=4, batch_size=8)
+    multi = TiledUpscaler(deployed, window=32, overlap=4, batch_size=8,
+                          data_devices=8)
+    assert multi._data_sharding is not None and multi.batch_size == 8
+    np.testing.assert_array_equal(
+        multi.upscale_image(image), single.upscale_image(image)
+    )
+    frames = rng.integers(0, 255, (9, 24, 24, 3), dtype=np.uint8)  # 9 % 8 != 0
+    np.testing.assert_array_equal(
+        multi.upscale_batch(frames), single.upscale_batch(frames)
+    )
+
+
+def test_data_axis_rounds_batch_and_rejects_spatial_combo():
+    from image_super_resolution_tpu.infer.engine import TiledUpscaler
+
+    deployed = small_deployed(scale=2)
+    eng = TiledUpscaler(deployed, batch_size=6, data_devices=4)
+    assert eng.batch_size == 8  # rounded up to a multiple of data_devices
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        TiledUpscaler(deployed, spatial_devices=2, data_devices=2)
+
+
+def test_data_axis_zero_means_all_local_devices():
+    from image_super_resolution_tpu.infer.engine import TiledUpscaler
+
+    deployed = small_deployed(scale=2)
+    eng = TiledUpscaler(deployed, batch_size=8, data_devices=0)
+    assert eng.data_devices == jax.local_device_count()
+
+
+def test_spatial_2d_matches_whole_image_reflect_pad():
+    """2-D (tile_y, tile_x) spatial parallelism: with halo >= the receptive
+    field, the 2x4-grid sharded output (row AND column halo exchange, corner
+    halos via exchange ordering) equals the whole-image reflect-padded run."""
+    from image_super_resolution_tpu.core.mesh import make_spatial_mesh
+    from image_super_resolution_tpu.parallel.spatial import spatial_apply_2d
+
+    model = SRGenerator(depth=1, width=8, scale=2, enchant=True, dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
+    params = variables["params"]
+
+    def net_apply(p, x):
+        return model.apply({"params": p}, x)
+
+    halo = 28  # > ~23 px receptive-field radius of the depth-1 net
+    mesh = make_spatial_mesh(2, 4)
+    rng = np.random.default_rng(9)
+    image = rng.uniform(-1, 1, (1, 64, 128, 3)).astype(np.float32)
+
+    out_sp = np.asarray(
+        spatial_apply_2d(net_apply, params, jnp.asarray(image), mesh,
+                         halo=halo, scale=2)
+    )
+    padded = np.pad(image, ((0, 0), (halo, halo), (halo, halo), (0, 0)),
+                    mode="reflect")
+    whole = np.asarray(net_apply(params, jnp.asarray(padded)))
+    want = whole[:, halo * 2 : (halo + 64) * 2, halo * 2 : (halo + 128) * 2]
+    assert out_sp.shape == want.shape == (1, 128, 256, 3)
+    np.testing.assert_allclose(out_sp, want, rtol=0, atol=1e-5)
+
+
+def test_spatial_2d_engine_runs_optimized_artifact():
+    """--spatial_grid on a default-exported (optimized) SR artifact agrees
+    with whole-image inference away from borders."""
+    from image_super_resolution_tpu.infer.engine import TiledUpscaler
+
+    deployed = small_deployed(scale=2, depth=1, width=8)
+    assert deployed.optimized
+    rng = np.random.default_rng(13)
+    image = rng.integers(0, 255, (96, 88, 3), dtype=np.uint8)
+
+    whole = TiledUpscaler(deployed, window=0).upscale_image(image)
+    sp = TiledUpscaler(deployed, overlap=28,
+                       spatial_grid=(2, 4)).upscale_image(image)
+    assert sp.shape == whole.shape == (192, 176, 3)
+    r = 28 * 2  # borders differ: reflect halo vs conv zero-pad
+    diff = np.abs(sp[r:-r, r:-r].astype(np.int32)
+                  - whole[r:-r, r:-r].astype(np.int32))
+    assert int(diff.max()) <= 1
