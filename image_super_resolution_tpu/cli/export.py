@@ -36,7 +36,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--torch_state_dict", type=str, default=None,
                         help="also export a reference-layout torch state_dict "
                              ".pt here (loads strict=True into the PyTorch "
-                             "reference's ResNet/EResNet — migration back)")
+                             "reference class for --family: ResNet/EResNet "
+                             "or Denoise — migration back)")
+    parser.add_argument("--torch_discriminator", type=str, default=None,
+                        help="export the GAN checkpoint's Discriminator as a "
+                             "reference-layout torch state_dict .pt "
+                             "(strict=True into reference Discriminator)")
     parser.add_argument("--smoke", action="store_true",
                         help="run + time one forward after export")
     return parser
@@ -82,11 +87,9 @@ def main(argv=None) -> None:
         print(f"TF SavedModel (dynamic dims) -> {opt.tf_saved_model}")
 
     if opt.torch_state_dict:
-        if opt.family != "sr":
-            raise SystemExit("--torch_state_dict supports the sr family only")
         from ..interop import save_torch_state_dict
 
-        # un-fused weights: the reference ResNet/EResNet modules carry BN.
+        # un-fused weights: the reference modules carry BN.
         # Chained fallbacks must move TOGETHER: a no-EMA checkpoint that
         # falls back to raw params must also fall back to raw batch_stats,
         # or every BN exports with zeros/ones running stats.
@@ -94,11 +97,29 @@ def main(argv=None) -> None:
         p = ckpt["ema_params" if use_ema else "params"]
         s = ckpt.get("ema_batch_stats" if use_ema else "batch_stats", {}) or {}
         save_torch_state_dict(
-            opt.torch_state_dict, p, s,
+            opt.torch_state_dict, p, s, family=opt.family,
             meta={"scale": opt.scale, "rs_deep": opt.rs_deep,
-                  "add_rate": opt.add_rate, "enchant": opt.enchant},
+                  "add_rate": opt.add_rate, "enchant": opt.enchant,
+                  "family": opt.family},
         )
-        print(f"reference-layout torch state_dict -> {opt.torch_state_dict}")
+        print(f"reference-layout torch state_dict ({opt.family}) -> "
+              f"{opt.torch_state_dict}")
+
+    if opt.torch_discriminator:
+        if "d_params" not in ckpt:
+            raise SystemExit(
+                "--torch_discriminator needs a GAN checkpoint carrying "
+                "d_params (train the default srgan phase)"
+            )
+        from ..interop import save_torch_state_dict
+
+        save_torch_state_dict(
+            opt.torch_discriminator, ckpt["d_params"],
+            ckpt.get("d_batch_stats", {}) or {}, family="discriminator",
+            meta={"family": "discriminator"},
+        )
+        print(f"reference-layout Discriminator state_dict -> "
+              f"{opt.torch_discriminator}")
 
     if opt.smoke:
         import time

@@ -181,16 +181,26 @@ def save_torch_state_dict(
     batch_stats: Optional[Dict[str, Any]] = None,
     prefix: str = "",
     meta: Optional[Dict[str, Any]] = None,
+    family: str = "sr",
 ) -> None:
     """torch.save a reference-layout state_dict (tensors, fp32) to ``path``.
 
     The file loads on any torch install with
     ``net.load_state_dict(torch.load(path)["state_dict"], strict=True)``
-    against the reference's ResNet/EResNet.
+    against the reference class for ``family``: "sr" -> ResNet/EResNet
+    (utils/models.py:592/621), "denoise" -> Denoise (utils/models.py:672),
+    "discriminator" -> Discriminator (utils/models.py:513).
     """
     import torch
 
-    sd = export_generator_state(params, batch_stats, prefix=prefix)
+    exporters = {
+        "sr": export_generator_state,
+        "denoise": export_denoiser_state,
+        "discriminator": export_discriminator_state,
+    }
+    if family not in exporters:
+        raise ValueError(f"unknown family {family!r}; one of {sorted(exporters)}")
+    sd = exporters[family](params, batch_stats, prefix=prefix)
     payload = {
         "state_dict": {k: torch.from_numpy(np.asarray(v).copy()) for k, v in sd.items()},
         "meta": dict(meta or {}),

@@ -149,7 +149,18 @@ def init_vgg_params(
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 96, 96, 3)))["params"]
     loaded = False
     if weights_path is not None and Path(weights_path).exists():
-        params = load_vgg19_npz(weights_path, params)
+        p = Path(weights_path)
+        if p.suffix in (".pth", ".pt"):
+            # Raw torchvision state_dict: auto-convert once to a cached npz
+            # beside it (torch is installed here), so users with torchvision
+            # VGG19 weights get reference-parity perceptual loss without a
+            # manual convert_torch_vgg19 call.
+            cached = p.parent / (p.name + ".npz")
+            if not cached.exists() or cached.stat().st_mtime < p.stat().st_mtime:
+                print(f"converting torchvision VGG19 {p} -> {cached}", flush=True)
+                convert_torch_vgg19(p, cached)
+            p = cached
+        params = load_vgg19_npz(p, params)
         loaded = True
     elif weights_path is not None:
         warnings.warn(f"VGG weights {weights_path} not found; using random features")

@@ -127,6 +127,52 @@ def test_cli_denoise_phase(workspace):
 
     assert Image.open(ws / "dn.png").size == (80, 80)  # x1 contract
 
+    # Reverse interop from the CLI (round 2 rejected non-sr families here):
+    # the denoise checkpoint exports a reference-layout Denoise state_dict.
+    sd_path = ws / "denoise_ref.pt"
+    export_main([
+        "--checkpoint", str(ckpt), "--out", str(ws / "denoise2.isr"),
+        "--family", "denoise", "--rs_deep", "1",
+        "--torch_state_dict", str(sd_path),
+    ])
+    import torch
+
+    from image_super_resolution_tpu.interop import import_denoiser_state
+
+    payload = torch.load(sd_path, map_location="cpu", weights_only=False)
+    assert payload["meta"]["family"] == "denoise"
+    p2, _, cfg = import_denoiser_state(
+        {k: v.numpy() for k, v in payload["state_dict"].items()}
+    )
+    # depth=1 has 1//2 = 0 pre-trunk residual blocks, so the round-tripped
+    # config reports the even-equivalent depth 0; layout is what matters.
+    assert cfg["depth"] == 0 and cfg["width"] == 64
+    assert {"head", "down", "trunk_conv", "tail"} <= set(p2)
+
+
+def test_cli_gan_discriminator_export(workspace):
+    """The GAN checkpoint's Discriminator exports back to the reference
+    layout from the export CLI (--torch_discriminator)."""
+    ws = workspace
+    ckpt = ws / "gen_t_1_0.2.ckpt"
+    if not ckpt.exists():  # ordering: reuse the gan test's checkpoint
+        test_cli_gan_phase_warm_start(workspace)
+    d_path = ws / "disc_ref.pt"
+    export_main([
+        "--checkpoint", str(ckpt), "--out", str(ws / "gen2.isr"),
+        "--rs_deep", "1", "--scale", "2",
+        "--torch_discriminator", str(d_path),
+    ])
+    import torch
+
+    from image_super_resolution_tpu.interop import import_discriminator_state
+
+    payload = torch.load(d_path, map_location="cpu", weights_only=False)
+    p2, _ = import_discriminator_state(
+        {k: v.numpy() for k, v in payload["state_dict"].items()}
+    )
+    assert "block0" in p2 and "fc1" in p2
+
 
 def test_cli_rs_spatial_devices_on_default_artifact(workspace):
     """rs --spatial_devices N on a default-exported (optimized) SR artifact —
@@ -142,6 +188,31 @@ def test_cli_rs_spatial_devices_on_default_artifact(workspace):
     from PIL import Image
 
     assert Image.open(ws / "sp.png").size == (160, 160)
+
+
+def test_cli_rs_spatial_grid_and_data_devices(workspace):
+    """The round-3 multi-chip serving flags, through the full CLI seam:
+    --spatial_grid NY NX (2-D halo grid) and --data_devices N (batch
+    sharding) both produce the same pixels as the plain run."""
+    ws = workspace
+    artifact = ws / "model.isr"
+    assert artifact.exists()
+    src = str(ws / "imgs" / "img_3.png")
+    rs_main(["--model", str(artifact), "--src", src,
+             "--save_dir", str(ws / "plain.png"), "--window_size", "48"])
+    rs_main(["--model", str(artifact), "--src", src,
+             "--save_dir", str(ws / "grid.png"),
+             "--spatial_grid", "2", "2", "--overlap", "8"])
+    rs_main(["--model", str(artifact), "--src", src,
+             "--save_dir", str(ws / "dd.png"),
+             "--window_size", "48", "--data_devices", "8"])
+    from PIL import Image
+
+    plain = np.asarray(Image.open(ws / "plain.png"))
+    assert plain.shape == (160, 160, 3)
+    # data-axis sharding is bitwise identical to the plain tiled run
+    np.testing.assert_array_equal(np.asarray(Image.open(ws / "dd.png")), plain)
+    assert Image.open(ws / "grid.png").size == (160, 160)
 
 
 def test_graft_entry_multichip():

@@ -142,3 +142,44 @@ def test_perceptual_feature_norm_calibrates_content_magnitude():
     # Gradients still flow through sr.
     g = jax.grad(lambda s: calib(s, hr, logits)[0])(sr)
     assert float(jnp.max(jnp.abs(g))) > 0
+
+
+def test_vgg_pth_auto_convert(tmp_path):
+    """--vgg_weights with a raw torchvision .pth: auto-converted to a cached
+    npz and loaded (users with torchvision VGG19 weights need zero manual
+    steps for reference-parity perceptual loss)."""
+    import numpy as np
+    import torch
+
+    from image_super_resolution_tpu.models.vgg import (
+        TruncatedVGG19,
+        init_vgg_params,
+    )
+
+    rng = np.random.default_rng(0)
+    sd = {}
+    for idx, (cin, cout) in zip((0, 2, 5), ((3, 64), (64, 64), (64, 128))):
+        sd[f"features.{idx}.weight"] = torch.from_numpy(
+            rng.standard_normal((cout, cin, 3, 3)).astype(np.float32)
+        )
+        sd[f"features.{idx}.bias"] = torch.from_numpy(
+            rng.standard_normal((cout,)).astype(np.float32)
+        )
+    pth = tmp_path / "vgg19.pth"
+    torch.save(sd, pth)
+
+    model = TruncatedVGG19(i=2, j=1)
+    params, loaded = init_vgg_params(model, pth, with_status=True)
+    assert loaded
+    assert (tmp_path / "vgg19.pth.npz").exists()  # cached conversion
+    np.testing.assert_allclose(
+        np.asarray(params["conv0"]["kernel"]),
+        np.transpose(sd["features.0.weight"].numpy(), (2, 3, 1, 0)),
+    )
+    # second load hits the cache (no re-conversion needed to succeed)
+    params2, loaded2 = init_vgg_params(model, pth, with_status=True)
+    assert loaded2
+    np.testing.assert_allclose(
+        np.asarray(params2["conv2"]["kernel"]),
+        np.transpose(sd["features.5.weight"].numpy(), (2, 3, 1, 0)),
+    )
