@@ -1,0 +1,61 @@
+#!/usr/bin/env python
+"""End-to-end real-chip drive used by /verify sessions (not a test).
+
+create_json -> 1-epoch pixel train -> export (incl. reverse-interop
+state_dicts) -> rs.py on a folder with COLLIDING names (the round-3
+uniquify fix) -> checks output sizes and uniqueness. Runs on the default
+backend (the real TPU chip in this container).
+"""
+
+import sys
+import tempfile
+from pathlib import Path
+
+import numpy as np
+from PIL import Image
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from image_super_resolution_tpu.cli.create_json import main as cj  # noqa: E402
+from image_super_resolution_tpu.cli.export import main as ex  # noqa: E402
+from image_super_resolution_tpu.cli.rs import main as rs  # noqa: E402
+from image_super_resolution_tpu.cli.train import main as tr  # noqa: E402
+
+ws = Path(tempfile.mkdtemp(prefix="isr_verify_"))
+imgs = ws / "imgs"
+imgs.mkdir()
+rng = np.random.default_rng(0)
+for i in range(6):
+    base = rng.uniform(0, 255, (10, 10, 3))
+    arr = np.kron(base, np.ones((8, 8, 1))).astype(np.uint8)
+    Image.fromarray(arr).save(imgs / f"img_{i}.png")
+
+cj(["--train_dirs", str(imgs), "--shape", "48", "--output", str(ws)])
+tr(["--resnet", "--scale", "2", "--save_name", "v",
+    "--train_json", str(ws / "train_images.json"), "--work_dir", str(ws),
+    "--epochs", "1", "--batch_size", "2", "--rs_deep", "1", "--shape", "48",
+    "--worker", "2", "--no_tensorboard"])
+ckpt = ws / "res_v_1_0.2.ckpt"
+assert ckpt.exists(), "train produced no checkpoint"
+
+art = ws / "model.isr"
+ex(["--checkpoint", str(ckpt), "--out", str(art), "--rs_deep", "1",
+    "--scale", "2", "--torch_state_dict", str(ws / "back.pt"), "--smoke"])
+assert art.exists() and (ws / "back.pt").exists()
+
+# folder batch with colliding names: photo.jpg + photo.png + photo_jpg.png
+batch = ws / "batch"
+batch.mkdir()
+pic = np.asarray(Image.open(imgs / "img_0.png"))
+Image.fromarray(pic).save(batch / "photo.jpg")
+Image.fromarray(pic).save(batch / "photo.png")
+Image.fromarray(pic).save(batch / "photo_jpg.png")
+out_dir = ws / "out"
+rs(["--model", str(art), "--src", str(batch), "--save_dir", str(out_dir),
+    "--window_size", "48", "--batch_size", "2"])
+outs = sorted(p.name for p in out_dir.glob("*.png"))
+print("outputs:", outs)
+assert len(outs) == 3, f"collision lost an output: {outs}"
+for p in out_dir.glob("*.png"):
+    assert Image.open(p).size == (160, 160)
+print("VERIFY DRIVE OK", ws)
