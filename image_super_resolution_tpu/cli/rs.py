@@ -144,8 +144,12 @@ def run(
                 raise RuntimeError("every image in the batch failed")
         return out_path
     if src_path.suffix.lower() in VID_FORMATS:
-        return _run_video(engine, deployed, src_path, out_path, batch_size,
-                          codec=codec)
+        # engine.batch_size, not the raw flag: with --data_devices the engine
+        # rounds the batch up to a multiple of the device count, and feeding
+        # smaller source batches would pad EVERY dispatch (throughput waste
+        # on the exact path the flag exists to speed up).
+        return _run_video(engine, deployed, src_path, out_path,
+                          engine.batch_size, codec=codec)
     return _run_image(engine, src_path, out_path)
 
 

@@ -69,6 +69,8 @@ def make_spatial_mesh(
     n_y: int, n_x: int = 1, devices: Optional[Sequence[jax.Device]] = None
 ) -> Mesh:
     """2-D (tile_y, tile_x) mesh for spatially-sharded inference."""
+    if n_y < 1 or n_x < 1:
+        raise ValueError(f"spatial grid must be >= 1 per axis, got ({n_y}, {n_x})")
     if devices is None:
         devices = jax.devices()
     use = n_y * n_x

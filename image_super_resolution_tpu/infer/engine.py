@@ -37,6 +37,20 @@ def _xla_runtime_errors() -> tuple:
     return tuple(errs) or (RuntimeError,)
 
 
+def _check_reflect_fit(dims, pads, grid_desc: str, halo: int) -> None:
+    """np.pad(mode='reflect') requires pad <= dim-1; images small relative to
+    the device grid / halo would otherwise crash deep inside numpy with an
+    unhelpful message (or be silently skipped in folder-batch mode)."""
+    for size, pad in zip(dims, pads):
+        if pad > size - 1:
+            raise ValueError(
+                f"image dimension {size} px is too small for {grid_desc} with "
+                f"halo {halo} (needs {pad} px of reflect padding, max is "
+                f"{size - 1}); use fewer spatial devices, a smaller "
+                f"--overlap, or the tiled/data-axis path for small images"
+            )
+
+
 class TiledUpscaler:
     def __init__(
         self,
@@ -70,8 +84,13 @@ class TiledUpscaler:
         self.batch_size = batch_size
         self.spatial_devices = spatial_devices
         self.spatial_grid = tuple(spatial_grid) if spatial_grid else None
-        if self.spatial_grid and self.spatial_grid[0] * self.spatial_grid[1] <= 1:
-            self.spatial_grid = None
+        if self.spatial_grid:
+            if min(self.spatial_grid) < 1:
+                raise ValueError(
+                    f"spatial_grid must be >= 1 per axis, got {self.spatial_grid}"
+                )
+            if self.spatial_grid == (1, 1):
+                self.spatial_grid = None  # single device: plain path
         self._spatial_mesh = None
         self._spatial_mesh_2d = None
         if data_devices == 0:
@@ -168,6 +187,7 @@ class TiledUpscaler:
         band = -(-h // n_tile)
         band = max(band, halo + 1)
         ph = band * n_tile
+        _check_reflect_fit((h,), (ph - h,), f"spatial_devices={n_tile}", halo)
         padded = np.pad(
             image_u8, ((0, ph - h), (0, 0), (0, 0)), mode="reflect"
         )
@@ -202,6 +222,10 @@ class TiledUpscaler:
         h, w = image_u8.shape[:2]
         band_h = max(-(-h // ny), halo + 1)
         band_w = max(-(-w // nx), halo + 1)
+        _check_reflect_fit(
+            (h, w), (band_h * ny - h, band_w * nx - w),
+            f"spatial_grid=({ny}, {nx})", halo,
+        )
         padded = np.pad(
             image_u8,
             ((0, band_h * ny - h), (0, band_w * nx - w), (0, 0)),

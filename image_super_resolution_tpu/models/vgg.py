@@ -154,11 +154,29 @@ def init_vgg_params(
             # Raw torchvision state_dict: auto-convert once to a cached npz
             # beside it (torch is installed here), so users with torchvision
             # VGG19 weights get reference-parity perceptual loss without a
-            # manual convert_torch_vgg19 call.
+            # manual convert_torch_vgg19 call. Written atomically (tmp +
+            # os.replace) so concurrent multi-process training never loads
+            # a half-written zip; a read-only weights dir falls back to an
+            # uncached conversion in a temp dir.
+            import os
+            import tempfile
+
             cached = p.parent / (p.name + ".npz")
             if not cached.exists() or cached.stat().st_mtime < p.stat().st_mtime:
                 print(f"converting torchvision VGG19 {p} -> {cached}", flush=True)
-                convert_torch_vgg19(p, cached)
+                try:
+                    # suffix must END in .npz: np.savez appends it otherwise
+                    fd, tmp = tempfile.mkstemp(
+                        dir=str(p.parent), suffix=".tmp.npz"
+                    )
+                    os.close(fd)
+                    convert_torch_vgg19(p, tmp)
+                    os.replace(tmp, cached)
+                except OSError:
+                    # weights dir not writable: convert without caching
+                    tmp_dir = tempfile.mkdtemp(prefix="isr_vgg_")
+                    cached = Path(tmp_dir) / (p.name + ".npz")
+                    convert_torch_vgg19(p, cached)
             p = cached
         params = load_vgg19_npz(p, params)
         loaded = True

@@ -127,7 +127,7 @@ def spatial_apply_2d(
 
     image: (N, H, W, C), H % tile_y == 0 and W % tile_x == 0.
     Equality with single-device reflect-padded inference is tested
-    (tests/test_infer.py::test_spatial_2d_matches_single_device).
+    (tests/test_infer.py::test_spatial_2d_matches_whole_image_reflect_pad).
     """
     n_y = mesh.shape[TILE_Y_AXIS]
     n_x = mesh.shape[TILE_X_AXIS]

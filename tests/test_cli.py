@@ -92,15 +92,21 @@ def test_cli_pixel_resume(workspace):
     assert (ws / "res_t_1_0.2.ckpt").exists()
 
 
-def test_cli_gan_phase_warm_start(workspace):
-    ws = workspace
+def _train_gan(ws):
+    """Run the GAN phase once; shared by the tests that need its checkpoint."""
     train_main([
         "--scale", "2", "--save_name", "t",
         "--train_json", str(ws / "train_images.json"),
         "--work_dir", str(ws), *COMMON,
     ])
-    assert (ws / "gen_t_1_0.2.ckpt").exists()
-    _assert_really_trained(ws / "gen_t_1_0.2.ckpt")
+    return ws / "gen_t_1_0.2.ckpt"
+
+
+def test_cli_gan_phase_warm_start(workspace):
+    ws = workspace
+    ckpt = _train_gan(ws)
+    assert ckpt.exists()
+    _assert_really_trained(ckpt)
 
 
 def test_cli_denoise_phase(workspace):
@@ -155,8 +161,8 @@ def test_cli_gan_discriminator_export(workspace):
     layout from the export CLI (--torch_discriminator)."""
     ws = workspace
     ckpt = ws / "gen_t_1_0.2.ckpt"
-    if not ckpt.exists():  # ordering: reuse the gan test's checkpoint
-        test_cli_gan_phase_warm_start(workspace)
+    if not ckpt.exists():  # standalone run: build the checkpoint ourselves
+        ckpt = _train_gan(ws)
     d_path = ws / "disc_ref.pt"
     export_main([
         "--checkpoint", str(ckpt), "--out", str(ws / "gen2.isr"),

@@ -371,3 +371,29 @@ def test_spatial_2d_engine_runs_optimized_artifact():
     diff = np.abs(sp[r:-r, r:-r].astype(np.int32)
                   - whole[r:-r, r:-r].astype(np.int32))
     assert int(diff.max()) <= 1
+
+
+def test_spatial_small_image_raises_clear_error():
+    """Images too small for the grid+halo must fail with a clear message,
+    not a deep np.pad reflect crash (silently skipped in folder mode)."""
+    from image_super_resolution_tpu.infer.engine import TiledUpscaler
+
+    deployed = small_deployed(scale=2)
+    eng = TiledUpscaler(deployed, overlap=8, spatial_grid=(2, 2))
+    with pytest.raises(ValueError, match="too small"):
+        eng.upscale_image(np.zeros((8, 8, 3), np.uint8))
+    eng1d = TiledUpscaler(deployed, overlap=8, spatial_devices=4)
+    with pytest.raises(ValueError, match="too small"):
+        eng1d.upscale_image(np.zeros((8, 200, 3), np.uint8))
+
+
+def test_spatial_grid_rejects_nonpositive():
+    from image_super_resolution_tpu.infer.engine import TiledUpscaler
+
+    deployed = small_deployed(scale=2)
+    with pytest.raises(ValueError, match=">= 1"):
+        TiledUpscaler(deployed, spatial_grid=(0, 2))
+    with pytest.raises(ValueError, match=">= 1"):
+        TiledUpscaler(deployed, spatial_grid=(-2, -2))
+    # (1, 1) is a no-op grid -> plain single-device path
+    assert TiledUpscaler(deployed, spatial_grid=(1, 1)).spatial_grid is None

@@ -90,3 +90,53 @@ def test_rs_video_path(tmp_path):
     assert int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT)) == 96
     assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 6
     cap.release()
+
+
+def test_rs_video_path_data_devices(tmp_path):
+    """Video SR with --data_devices: frame batches shard over the data mesh
+    axis and the engine-rounded batch size feeds the source (no per-batch
+    padding waste); the encoded output must match the single-device run
+    frame for frame."""
+    import jax
+    import jax.numpy as jnp
+
+    from image_super_resolution_tpu.cli.rs import main as rs_main
+    from image_super_resolution_tpu.models import SRGenerator
+    from image_super_resolution_tpu.models.deploy import (
+        DeploySpec,
+        save_artifact,
+    )
+
+    path = tmp_path / "in.mp4"
+    _write_test_video(path, n_frames=6)
+
+    spec = DeploySpec(family="sr", depth=1, width=8, scale=2)
+    model = spec.build_model(dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))["params"]
+    artifact = tmp_path / "m.isr"
+    save_artifact(artifact, spec, params)
+
+    def frames_of(p):
+        cap = cv2.VideoCapture(str(p))
+        fs = []
+        while True:
+            ok, f = cap.read()
+            if not ok:
+                break
+            fs.append(f)
+        cap.release()
+        return np.stack(fs)
+
+    out1 = rs_main([
+        "--model", str(artifact), "--src", str(path),
+        "--save_dir", str(tmp_path / "single.mp4"), "--batch_size", "4",
+    ])
+    out8 = rs_main([
+        "--model", str(artifact), "--src", str(path),
+        "--save_dir", str(tmp_path / "sharded.mp4"), "--batch_size", "4",
+        "--data_devices", "8",
+    ])
+    f1, f8 = frames_of(out1), frames_of(out8)
+    assert f1.shape == f8.shape == (6, 96, 128, 3)
+    # same pixels in, same SR math, same encoder settings -> identical files
+    np.testing.assert_array_equal(f1, f8)
