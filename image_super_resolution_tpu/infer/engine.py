@@ -43,11 +43,15 @@ def _check_reflect_fit(dims, pads, grid_desc: str, halo: int) -> None:
     unhelpful message (or be silently skipped in folder-batch mode)."""
     for size, pad in zip(dims, pads):
         if pad > size - 1:
+            overlap_hint = (
+                " or a smaller --overlap" if halo > 8 else
+                " (the halo is floored at 8 px, so --overlap cannot go lower)"
+            )
             raise ValueError(
                 f"image dimension {size} px is too small for {grid_desc} with "
                 f"halo {halo} (needs {pad} px of reflect padding, max is "
-                f"{size - 1}); use fewer spatial devices, a smaller "
-                f"--overlap, or the tiled/data-axis path for small images"
+                f"{size - 1}); use fewer spatial devices{overlap_hint}, or "
+                f"the tiled/data-axis path for small images"
             )
 
 
@@ -107,20 +111,29 @@ class TiledUpscaler:
                 "exclusive: shard one huge image (1-D rows or 2-D grid) OR "
                 "batch-shard many tiles/frames"
             )
+        # Serving meshes are built from LOCAL devices: jax.devices() orders
+        # process 0's devices first, so slicing it on another process of a
+        # multi-process program would pick non-addressable devices and
+        # device_put would fail.
         if self.spatial_grid is not None:
             from ..core.mesh import make_spatial_mesh
 
-            self._spatial_mesh_2d = make_spatial_mesh(*self.spatial_grid)
+            self._spatial_mesh_2d = make_spatial_mesh(
+                *self.spatial_grid, devices=jax.local_devices()
+            )
         elif spatial_devices > 1:
             from ..core.mesh import make_mesh
 
-            self._spatial_mesh = make_mesh(n_data=1, n_tile=spatial_devices)
+            self._spatial_mesh = make_mesh(
+                n_data=1, n_tile=spatial_devices, devices=jax.local_devices()
+            )
         elif data_devices > 1:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             from ..core.mesh import DATA_AXIS, batch_sharding, make_mesh
 
-            mesh = make_mesh(n_data=data_devices, n_tile=1)
+            mesh = make_mesh(n_data=data_devices, n_tile=1,
+                             devices=jax.local_devices())
             self._data_sharding = batch_sharding(mesh)
             # tile chunks are (n_chunks, batch, h, w, c): shard the
             # WITHIN-chunk batch dim so lax.map over chunks keeps every
@@ -140,7 +153,10 @@ class TiledUpscaler:
             batch_u8 = np.concatenate(
                 [batch_u8, np.repeat(batch_u8[-1:], pad, axis=0)]
             )
-        arr = jax.device_put(jnp.asarray(batch_u8), self._data_sharding)
+        # device_put straight from numpy: each shard ships host->device once
+        # (jnp.asarray first would copy the whole batch to device 0 and then
+        # reshard device-to-device — double transfer in a relay-bound env).
+        arr = jax.device_put(np.ascontiguousarray(batch_u8), self._data_sharding)
         return np.asarray(self.deployed(arr))[:n]
 
     # -- arbitrary-size single images: overlap tiling ------------------------
@@ -175,7 +191,6 @@ class TiledUpscaler:
 
     def _upscale_spatial(self, image_u8: np.ndarray) -> np.ndarray:
         """Row-band sharding with halo exchange over the tile mesh axis."""
-        from ..data.transforms import normalize, tanh_to_uint8
         from ..parallel.spatial import spatial_apply
 
         spec = self.deployed.spec
@@ -191,20 +206,13 @@ class TiledUpscaler:
         padded = np.pad(
             image_u8, ((0, ph - h), (0, 0), (0, 0)), mode="reflect"
         )
-        mean = tuple(float(v) for v in spec.mean)
-        std = tuple(float(v) for v in spec.std)
-        # The module matching self.deployed.params' layout — the params are in
-        # the optimized scatter/tail-folded form when optimize=True, so
-        # rebuilding the standard graph here would mismatch (round-1 bug).
-        model = self.deployed.model
-
-        def net_apply(params, u8):
-            x = normalize(u8, mean, std)
-            return tanh_to_uint8(model.apply({"params": params}, x))
-
+        # raw_apply IS the deployed graph (normalize -> layout-matching model
+        # -> tanh_to_uint8): the single definition serves the plain, 1-D, and
+        # 2-D paths, so deploy-time changes can never diverge between them.
         out = spatial_apply(
-            net_apply, self.deployed.params, jnp.asarray(padded[None]),
-            mesh, halo=halo, scale=spec.output_scale,
+            self.deployed.raw_apply, self.deployed.params,
+            jnp.asarray(padded[None]), mesh, halo=halo,
+            scale=spec.output_scale,
         )
         s = spec.output_scale
         return np.asarray(out[0])[: h * s, : w * s]
@@ -212,7 +220,6 @@ class TiledUpscaler:
     def _upscale_spatial_2d(self, image_u8: np.ndarray) -> np.ndarray:
         """2-D (tile_y, tile_x) grid sharding with halo exchange in both
         dimensions (parallel/spatial.py spatial_apply_2d)."""
-        from ..data.transforms import normalize, tanh_to_uint8
         from ..parallel.spatial import spatial_apply_2d
 
         spec = self.deployed.spec
@@ -231,17 +238,10 @@ class TiledUpscaler:
             ((0, band_h * ny - h), (0, band_w * nx - w), (0, 0)),
             mode="reflect",
         )
-        mean = tuple(float(v) for v in spec.mean)
-        std = tuple(float(v) for v in spec.std)
-        model = self.deployed.model  # layout-matching module (see .model doc)
-
-        def net_apply(params, u8):
-            x = normalize(u8, mean, std)
-            return tanh_to_uint8(model.apply({"params": params}, x))
-
         out = spatial_apply_2d(
-            net_apply, self.deployed.params, jnp.asarray(padded[None]),
-            mesh, halo=halo, scale=spec.output_scale,
+            self.deployed.raw_apply, self.deployed.params,
+            jnp.asarray(padded[None]), mesh, halo=halo,
+            scale=spec.output_scale,
         )
         s = spec.output_scale
         return np.asarray(out[0])[: h * s, : w * s]

@@ -90,10 +90,13 @@ def upscale_tiled(
     pad_n = n_chunks * batch_size - n_tiles
     if pad_n:
         tiles = np.concatenate([tiles, np.repeat(tiles[-1:], pad_n, axis=0)])
-    chunks = jnp.asarray(tiles).reshape(n_chunks, batch_size, window, window,
-                                        tiles.shape[-1])
+    tiles = tiles.reshape(n_chunks, batch_size, window, window, tiles.shape[-1])
     if sharding is not None:
-        chunks = jax.device_put(chunks, sharding)
+        # device_put straight from numpy: each shard ships host->device once
+        # (jnp.asarray first would land everything on device 0, then reshard).
+        chunks = jax.device_put(tiles, sharding)
+    else:
+        chunks = jnp.asarray(tiles)
     out_chunks = jax.lax.map(apply_fn, chunks)
     out_tiles = np.asarray(out_chunks).reshape(
         n_chunks * batch_size, *out_chunks.shape[2:]

@@ -164,6 +164,7 @@ def init_vgg_params(
             cached = p.parent / (p.name + ".npz")
             if not cached.exists() or cached.stat().st_mtime < p.stat().st_mtime:
                 print(f"converting torchvision VGG19 {p} -> {cached}", flush=True)
+                tmp = None
                 try:
                     # suffix must END in .npz: np.savez appends it otherwise
                     fd, tmp = tempfile.mkstemp(
@@ -172,11 +173,18 @@ def init_vgg_params(
                     os.close(fd)
                     convert_torch_vgg19(p, tmp)
                     os.replace(tmp, cached)
+                    tmp = None  # consumed by the rename
                 except OSError:
                     # weights dir not writable: convert without caching
                     tmp_dir = tempfile.mkdtemp(prefix="isr_vgg_")
                     cached = Path(tmp_dir) / (p.name + ".npz")
                     convert_torch_vgg19(p, cached)
+                finally:
+                    if tmp is not None:  # conversion failed: no orphan files
+                        try:
+                            os.unlink(tmp)
+                        except OSError:
+                            pass
             p = cached
         params = load_vgg19_npz(p, params)
         loaded = True
