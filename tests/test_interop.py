@@ -343,3 +343,106 @@ def test_exported_denoiser_roundtrip_and_loads(ref_models):
         strict=True,
     )
     assert not missing and not unexpected
+
+
+@needs_ref
+def test_gradient_parity_with_reference_eresnet(ref_models):
+    """One training-step's LOSS AND GRADIENTS match the live reference.
+
+    Forward parity (above) cannot catch loss-reduction or normalization
+    mismatches that only surface in backward; this runs the same MSE step on
+    the same weights/batch in torch and JAX and compares every parameter's
+    gradient through the export mapping (reference train.py:55-58 inner
+    loop, pixel phase)."""
+    from image_super_resolution_tpu.interop import (
+        export_generator_state,
+        import_generator_state,
+    )
+    from image_super_resolution_tpu.losses import mse_loss
+    from image_super_resolution_tpu.models import SRGenerator
+
+    tnet = ref_models.EResNet(1, 0.2, 2).train()
+    params, _, cfg = import_generator_state(_sd(tnet))
+    model = SRGenerator(depth=1, add_rate=0.2, scale=2, enchant=True,
+                        dtype=jnp.float32)
+
+    rng = np.random.default_rng(11)
+    lr = rng.standard_normal((2, 12, 12, 3)).astype(np.float32)
+    hr = np.tanh(rng.standard_normal((2, 24, 24, 3))).astype(np.float32)
+
+    # torch side
+    t_lr = torch.from_numpy(lr.transpose(0, 3, 1, 2).copy())
+    t_hr = torch.from_numpy(hr.transpose(0, 3, 1, 2).copy())
+    t_loss = torch.nn.MSELoss()(tnet(t_lr), t_hr)
+    t_loss.backward()
+    t_grads = {k: p.grad.numpy() for k, p in tnet.named_parameters()}
+
+    # jax side
+    def loss_fn(p):
+        return mse_loss(model.apply({"params": p}, jnp.asarray(lr)),
+                        jnp.asarray(hr))
+
+    j_loss, j_grads = jax.value_and_grad(loss_fn)(
+        jax.tree_util.tree_map(jnp.asarray, params)
+    )
+    np.testing.assert_allclose(float(j_loss), float(t_loss.detach()), rtol=1e-5)
+
+    # map the flax gradient TREE through the same exporter as the weights:
+    # identical keys/layouts as torch's named_parameters
+    sd_grads = export_generator_state(jax.device_get(j_grads), {})
+    compared = 0
+    for k, tg in t_grads.items():
+        np.testing.assert_allclose(
+            sd_grads[k], tg, rtol=2e-3, atol=1e-6,
+            err_msg=f"gradient mismatch at {k}",
+        )
+        compared += 1
+    assert compared == len(t_grads) and compared > 10
+
+
+@needs_ref
+def test_gradient_parity_with_reference_resnet_bn(ref_models):
+    """Same gradient-parity check for the BN variant: train-mode BatchNorm
+    (batch statistics in forward AND backward) must differentiate
+    identically across frameworks."""
+    from image_super_resolution_tpu.interop import (
+        export_generator_state,
+        import_generator_state,
+    )
+    from image_super_resolution_tpu.losses import mse_loss
+    from image_super_resolution_tpu.models import SRGenerator
+
+    tnet = ref_models.ResNet(1, 0.2, 2).train()
+    params, stats, _ = import_generator_state(_sd(tnet))
+    model = SRGenerator(depth=1, add_rate=0.2, scale=2, dtype=jnp.float32)
+
+    rng = np.random.default_rng(13)
+    lr = rng.standard_normal((4, 12, 12, 3)).astype(np.float32)
+    hr = np.tanh(rng.standard_normal((4, 24, 24, 3))).astype(np.float32)
+
+    t_lr = torch.from_numpy(lr.transpose(0, 3, 1, 2).copy())
+    t_hr = torch.from_numpy(hr.transpose(0, 3, 1, 2).copy())
+    t_loss = torch.nn.MSELoss()(tnet(t_lr), t_hr)
+    t_loss.backward()
+    t_grads = {k: p.grad.numpy() for k, p in tnet.named_parameters()}
+
+    def loss_fn(p):
+        out, _ = model.apply(
+            {"params": p, "batch_stats": stats}, jnp.asarray(lr),
+            train=True, mutable=["batch_stats"],
+        )
+        return mse_loss(out, jnp.asarray(hr))
+
+    j_loss, j_grads = jax.value_and_grad(loss_fn)(
+        jax.tree_util.tree_map(jnp.asarray, params)
+    )
+    np.testing.assert_allclose(float(j_loss), float(t_loss.detach()), rtol=1e-5)
+    sd_grads = export_generator_state(jax.device_get(j_grads), {})
+    compared = 0
+    for k, tg in t_grads.items():
+        np.testing.assert_allclose(
+            sd_grads[k], tg, rtol=5e-3, atol=1e-5,
+            err_msg=f"gradient mismatch at {k}",
+        )
+        compared += 1
+    assert compared == len(t_grads) and compared > 10
