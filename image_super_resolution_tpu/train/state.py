@@ -89,15 +89,21 @@ def build_optimizer(
     b2: float = 0.999,
     clip_norm: float = 10.0,
 ) -> optax.GradientTransformation:
-    """clip_by_global_norm(10) -> Adam(W) with linear 1 -> lr2 factor decay."""
+    """clip_by_global_norm(10) -> Adam with linear 1 -> lr2 factor decay.
+
+    ``weight_decay`` replicates torch.optim.Adam's COUPLED L2 semantics
+    (reference train.py:265: wd*w is added to the clipped gradient BEFORE
+    the moment update) — not decoupled AdamW, which would change training
+    for any user passing --weight_decay. Step-parity with the reference
+    optimizer is tested (tests/test_train.py)."""
     schedule = optax.linear_schedule(
         init_value=lr, end_value=lr * lr2, transition_steps=max(total_steps, 1)
     )
+    chain = [optax.clip_by_global_norm(clip_norm)]
     if weight_decay > 0.0:
-        opt = optax.adamw(schedule, b1=b1, b2=b2, weight_decay=weight_decay)
-    else:
-        opt = optax.adam(schedule, b1=b1, b2=b2)
-    return optax.chain(optax.clip_by_global_norm(clip_norm), opt)
+        chain.append(optax.add_decayed_weights(weight_decay))
+    chain.append(optax.adam(schedule, b1=b1, b2=b2))
+    return optax.chain(*chain)
 
 
 def create_train_state(

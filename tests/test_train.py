@@ -234,3 +234,48 @@ def test_tensor_parallel_conv_matches_single_device():
     got = tp_conv(mesh)(x, k, b)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_optimizer_step_parity_with_torch():
+    """build_optimizer (clip 10 -> coupled-L2 Adam -> LinearLR 1 -> lr2)
+    reproduces the reference's torch.optim.Adam + clip_grad_norm_ + LinearLR
+    parameter trajectory step for step (reference train.py:59-62, 265-269),
+    including a step whose gradient norm exceeds the clip threshold and a
+    non-zero --weight_decay (which torch couples into the gradient, NOT
+    AdamW-style)."""
+    import pytest
+
+    torch = pytest.importorskip("torch")
+
+    from image_super_resolution_tpu.train import build_optimizer
+
+    rng = np.random.default_rng(23)
+    w0 = rng.standard_normal((6, 5)).astype(np.float32)
+    grads = [rng.standard_normal((6, 5)).astype(np.float32) for _ in range(4)]
+    grads[1] *= 50.0  # norm >> 10: exercises the clip leg
+    lr, lr2, wd, total = 1e-2, 0.01, 0.05, 10
+
+    # torch trajectory
+    tw = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    topt = torch.optim.Adam([tw], lr=lr, betas=(0.9, 0.999), weight_decay=wd)
+    tsched = torch.optim.lr_scheduler.LinearLR(
+        topt, start_factor=1, end_factor=lr2, total_iters=total
+    )
+    for g in grads:
+        topt.zero_grad()
+        tw.grad = torch.from_numpy(g.copy())
+        torch.nn.utils.clip_grad_norm_([tw], 10.0)
+        topt.step()
+        tsched.step()
+
+    # optax trajectory
+    tx = build_optimizer(lr=lr, lr2=lr2, total_steps=total, weight_decay=wd)
+    params = {"w": jnp.asarray(w0)}
+    opt_state = tx.init(params)
+    for g in grads:
+        updates, opt_state = tx.update({"w": jnp.asarray(g)}, opt_state, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+
+    np.testing.assert_allclose(
+        np.asarray(params["w"]), tw.detach().numpy(), rtol=1e-5, atol=1e-7
+    )
