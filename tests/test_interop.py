@@ -560,3 +560,67 @@ def test_gan_generator_step_parity_with_reference(ref_models):
         )
         compared += 1
     assert compared == len(t_grads) and compared > 8
+
+
+@needs_ref
+def test_gan_discriminator_step_parity_with_reference(ref_models):
+    """The D-step numerics — BCE(D(stop_grad(sr)), 0) + BCE(D(hr), 1) with
+    two train-mode forwards (reference train.py:113-117, utils/loss.py:26-29)
+    — produce the same loss and discriminator gradients in torch and JAX,
+    completing step-level parity for the whole GAN loop."""
+    from image_super_resolution_tpu.interop import (
+        export_discriminator_state,
+        import_discriminator_state,
+    )
+    from image_super_resolution_tpu.losses import discriminator_loss
+    from image_super_resolution_tpu.models import Discriminator
+
+    torch.manual_seed(0)
+    t_disc = ref_models.Discriminator(3, 8, 4, 16).train()
+    d_params, d_stats = import_discriminator_state(_sd(t_disc))
+    d_model = Discriminator(3, 8, 4, 16, dtype=jnp.float32)
+
+    rng = np.random.default_rng(29)
+    sr_norm = rng.standard_normal((2, 24, 24, 3)).astype(np.float32)
+    hr_norm = rng.standard_normal((2, 24, 24, 3)).astype(np.float32)
+
+    # torch D-step
+    t_sr = torch.from_numpy(sr_norm.transpose(0, 3, 1, 2).copy())
+    t_hr = torch.from_numpy(hr_norm.transpose(0, 3, 1, 2).copy())
+    sr_logits = t_disc(t_sr)
+    hr_logits = t_disc(t_hr)
+    bce = torch.nn.BCEWithLogitsLoss()
+    t_loss = bce(sr_logits, torch.zeros_like(sr_logits)) + bce(
+        hr_logits, torch.ones_like(hr_logits)
+    )
+    t_loss.backward()
+    t_grads = {k: p.grad.numpy() for k, p in t_disc.named_parameters()}
+
+    # JAX D-step (train/steps.py d_loss semantics: two train-mode forwards,
+    # batch-stat bookkeeping threaded between them)
+    def d_loss(dp):
+        sl, mut = d_model.apply(
+            {"params": dp, "batch_stats": d_stats}, jnp.asarray(sr_norm),
+            train=True, mutable=["batch_stats"],
+        )
+        hl, _ = d_model.apply(
+            {"params": dp, "batch_stats": mut["batch_stats"]},
+            jnp.asarray(hr_norm), train=True, mutable=["batch_stats"],
+        )
+        return discriminator_loss(sl, hl)
+
+    j_loss, j_grads = jax.value_and_grad(d_loss)(
+        jax.tree_util.tree_map(jnp.asarray, d_params)
+    )
+    np.testing.assert_allclose(float(j_loss), float(t_loss.detach()), rtol=1e-5)
+
+    sd_grads = export_discriminator_state(jax.device_get(j_grads), {})
+    compared = 0
+    for k, tg in t_grads.items():
+        atol = 3e-3 * float(np.abs(tg).max()) + 1e-8
+        np.testing.assert_allclose(
+            sd_grads[k], tg, rtol=5e-3, atol=atol,
+            err_msg=f"D gradient mismatch at {k}",
+        )
+        compared += 1
+    assert compared == len(t_grads) and compared > 8
