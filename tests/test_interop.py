@@ -624,3 +624,40 @@ def test_gan_discriminator_step_parity_with_reference(ref_models):
         )
         compared += 1
     assert compared == len(t_grads) and compared > 8
+
+
+@needs_ref
+def test_ema_parity_with_reference(ref_models):
+    """ema_update reproduces the reference ModelEMA trajectory (ramped decay
+    d = 0.9999*(1-exp(-n/tau)), full-state lerp — utils/models.py:17-40)
+    over several updates with changing weights."""
+    from image_super_resolution_tpu.interop import import_generator_state
+    from image_super_resolution_tpu.train.state import ema_update, init_ema
+
+    torch.manual_seed(1)
+    tnet = ref_models.EResNet(1, 0.2, 2)
+    t_ema = ref_models.ModelEMA(tnet, tau=100)
+
+    params, stats, _ = import_generator_state(_sd(tnet))
+    ema = init_ema(jax.tree_util.tree_map(jnp.asarray, params), stats)
+
+    g = torch.Generator().manual_seed(7)
+    for _ in range(4):
+        with torch.no_grad():  # simulate an optimizer step
+            for p in tnet.parameters():
+                p.add_(0.01 * torch.randn(p.shape, generator=g))
+        t_ema.update(tnet)
+        params_k, stats_k, _ = import_generator_state(_sd(tnet))
+        ema = ema_update(
+            ema, jax.tree_util.tree_map(jnp.asarray, params_k), stats_k,
+            tau=100.0,
+        )
+
+    want_params, _, _ = import_generator_state(_sd(t_ema.ema))
+    for (k1, v1), (k2, v2) in zip(
+        jax.tree_util.tree_leaves_with_path(jax.device_get(ema.params)),
+        jax.tree_util.tree_leaves_with_path(want_params),
+    ):
+        assert k1 == k2
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
+                                   rtol=1e-5, atol=1e-7)
