@@ -28,6 +28,9 @@ def build_parser() -> argparse.ArgumentParser:
                         choices=["bilinear", "bicubic"])
     parser.add_argument("--antialias", action="store_true")
     parser.add_argument("--json_out", type=str, default=None)
+    parser.add_argument("--data_devices", type=int, default=1,
+                        help="shard eval batches over N chips (0 = all local "
+                             "devices) — same data-axis serving as rs.py")
     return parser
 
 
@@ -71,10 +74,29 @@ def main(argv=None) -> dict:
             "bicubic_psnr_y": psnr_y(jnp.clip(cubic01, 0, 1), hr01),
         }
 
+    batch_shard = None
+    if opt.data_devices != 1:
+        from ..core.mesh import batch_sharding, make_mesh
+
+        n_dev = opt.data_devices or jax.local_device_count()
+        if opt.batch_size % n_dev:
+            raise SystemExit(
+                f"--batch_size {opt.batch_size} must be divisible by "
+                f"--data_devices {n_dev}"
+            )
+        batch_shard = batch_sharding(
+            make_mesh(n_data=n_dev, n_tile=1, devices=jax.local_devices())
+        )
+
     totals: dict = {}
     n = 0
     for batch in loader:
-        metrics = eval_batch(jnp.asarray(batch))
+        arr = jnp.asarray(batch)
+        if batch_shard is not None:
+            import numpy as _np
+
+            arr = jax.device_put(_np.asarray(batch), batch_shard)
+        metrics = eval_batch(arr)
         for k, v in metrics.items():
             totals[k] = totals.get(k, 0.0) + float(v)
         n += 1

@@ -17,6 +17,7 @@ from PIL import Image
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from image_super_resolution_tpu.cli.create_json import main as cj  # noqa: E402
+from image_super_resolution_tpu.cli.evaluate import main as ev  # noqa: E402
 from image_super_resolution_tpu.cli.export import main as ex  # noqa: E402
 from image_super_resolution_tpu.cli.rs import main as rs  # noqa: E402
 from image_super_resolution_tpu.cli.train import main as tr  # noqa: E402
@@ -58,4 +59,11 @@ print("outputs:", outs)
 assert len(outs) == 3, f"collision lost an output: {outs}"
 for p in out_dir.glob("*.png"):
     assert Image.open(p).size == (160, 160)
+
+import json as _json
+
+(ws / "val.json").write_text(_json.dumps(sorted(p.as_posix() for p in imgs.glob("*.png"))))
+res = ev(["--model", str(art), "--val_json", str(ws / "val.json"),
+          "--shape", "64", "--batch_size", "2"])
+assert all(np.isfinite(res[k]) for k in ("psnr", "psnr_y", "ssim"))
 print("VERIFY DRIVE OK", ws)

@@ -212,23 +212,3 @@ def test_device_prefetcher_context_manager():
     assert len(batches) == 1
     assert not pf._thread.is_alive()
 
-
-def test_downscale_bitexact_vs_reference_cv2():
-    """The training LR degradation is the reference's albumentations.Resize
-    default = cv2.INTER_LINEAR (utils/datasets.py:291); our on-device
-    bilinear downscale reproduces cv2's output EXACTLY at both scales, so
-    train-time LR distributions are identical across the two frameworks
-    (SURVEY hard part #2 settled by construction)."""
-    import cv2
-
-    rng = np.random.default_rng(5)
-    x01 = (rng.integers(0, 255, (48, 40, 3), np.uint8).astype(np.float32)
-           / 255.0)
-    for scale in (2, 4):
-        want = cv2.resize(
-            x01, (40 // scale, 48 // scale), interpolation=cv2.INTER_LINEAR
-        )
-        got = np.asarray(
-            degrade.downscale(jnp.asarray(x01[None]), scale, "bilinear")
-        )[0]
-        np.testing.assert_allclose(got, want, atol=1e-6)

@@ -72,3 +72,37 @@ def test_profiling_step_timer():
         t.tick()
     assert t.steps_per_sec > 0
     assert t.patches_per_sec(16) == pytest.approx(t.steps_per_sec * 16)
+
+
+def test_eval_cli_data_devices_matches_single(tmp_path):
+    """eval --data_devices shards eval batches over the data mesh and must
+    reproduce the single-device metrics exactly."""
+    from PIL import Image
+
+    from image_super_resolution_tpu.cli.evaluate import main as eval_main
+    from image_super_resolution_tpu.models.deploy import DeploySpec, save_artifact
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(3)
+    paths = []
+    for i in range(8):
+        base = rng.uniform(0, 255, (12, 12, 3))
+        arr = np.kron(base, np.ones((8, 8, 1))).astype(np.uint8)
+        p = img_dir / f"v{i}.png"
+        Image.fromarray(arr).save(p)
+        paths.append(p.as_posix())
+    (tmp_path / "val.json").write_text(json.dumps(paths))
+
+    spec = DeploySpec(family="sr", depth=1, width=8, scale=2)
+    model = spec.build_model(dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))["params"]
+    artifact = tmp_path / "m.isr"
+    save_artifact(artifact, spec, params)
+
+    args = ["--model", str(artifact), "--val_json", str(tmp_path / "val.json"),
+            "--shape", "48", "--batch_size", "8"]
+    single = eval_main(args)
+    sharded = eval_main(args + ["--data_devices", "8"])
+    for k in ("psnr", "psnr_y", "ssim"):
+        assert sharded[k] == single[k], (k, sharded[k], single[k])
