@@ -254,6 +254,20 @@ def run_training(opt) -> None:
             if idx == 9:  # 10 batches, matching reference train.py:250-256
                 break
 
+    if jax.process_count() > 1:
+        # Hosts need not share a filesystem: --resume / the GAN warm start
+        # could load different (or no) weights on different processes, and a
+        # differing start_epoch desyncs the lockstep epoch loop (deadlock).
+        # Broadcast process 0's full state so every host trains identically.
+        from jax.experimental import multihost_utils
+
+        state = multihost_utils.broadcast_one_to_all(state)
+        if phase == "gan":
+            d_state = multihost_utils.broadcast_one_to_all(d_state)
+        start_epoch = int(
+            multihost_utils.broadcast_one_to_all(jnp.asarray(start_epoch))
+        )
+
     print(f"Train: {opt.epochs} epochs, {n_params(state.params):,} parameters")
     eval_fn = make_eval_step(scale, mean, std) if opt.eval_every else None
     eval_loader = None

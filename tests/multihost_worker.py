@@ -17,7 +17,9 @@ jax.config.update("jax_platforms", "cpu")
 
 pid, port, ws = int(sys.argv[1]), sys.argv[2], sys.argv[3]
 phases = sys.argv[4].split("+") if len(sys.argv) > 4 else ["pixel"]
-extra = sys.argv[5:]
+# "{pid}" in extra args is substituted per process — lets tests give hosts
+# DIFFERENT work dirs (unshared-filesystem scenarios).
+extra = [a.replace("{pid}", str(pid)) for a in sys.argv[5:]]
 
 jax.distributed.initialize(
     coordinator_address=f"127.0.0.1:{port}", num_processes=2, process_id=pid

@@ -69,7 +69,7 @@ def _make_manifest(tmp_path, n_images: int) -> None:
     cj(["--train_dirs", str(img_dir), "--shape", "32", "--output", str(tmp_path)])
 
 
-def _run_workers(tmp_path, phase: str, extra=(), timeout=540):
+def _run_workers(tmp_path, phase: str, extra=(), timeout=900):
     env = _scrubbed_env(4)
     worker = str(REPO / "tests" / "multihost_worker.py")
     port = _free_port()
@@ -124,7 +124,9 @@ def test_two_process_gan_phase(tmp_path):
     the GAN step's two optimizers, perceptual loss, and D state have to run
     the same collective program on both hosts."""
     _make_manifest(tmp_path, 16)
-    outs = _run_workers(tmp_path, "pixel+gan", timeout=900)
+    # generous timeout: two sequential train runs + GAN compile; under full
+    # parallel-suite load the wall clock roughly doubles vs standalone
+    outs = _run_workers(tmp_path, "pixel+gan", timeout=1800)
     for pid, out in enumerate(outs):
         assert f"WORKER {pid} PHASE pixel DONE" in out
         assert f"WORKER {pid} PHASE gan DONE" in out
@@ -136,3 +138,38 @@ def test_two_process_gan_phase(tmp_path):
     data = load_checkpoint(ckpt)
     assert "d_params" in data  # D state saved by the single writer
     assert np.all(np.isfinite(data["meta"]["loss"]))
+
+
+def test_two_process_resume_without_shared_workdir(tmp_path):
+    """Hosts need not share a filesystem: on --resume only host 0 may see
+    the checkpoint. Without the proc-0 state broadcast, host 1 would start
+    from scratch at epoch 0 and run a different number of epochs than host
+    0 — the same lockstep-deadlock class as uneven striping, plus silently
+    corrupted psum-averaged training. With it, both hosts resume from
+    host 0's state and finish together."""
+    _make_manifest(tmp_path, 16)
+    w0 = tmp_path / "w0"
+    w1 = tmp_path / "w1"
+    w0.mkdir()
+    w1.mkdir()
+
+    # run 1: a 1-epoch pretrain whose checkpoint lands in w0 only
+    _run_workers(tmp_path, "pixel", extra=["--work_dir", str(w0)])
+    ckpt = w0 / "res_mh_1_0.2.ckpt"
+    assert ckpt.exists()
+
+    # run 2: per-host work dirs ({pid} substituted by the worker); only
+    # host 0 can see the run-1 checkpoint
+    outs = _run_workers(
+        tmp_path, "pixel",
+        extra=["--resume", "--epochs", "2",
+               "--work_dir", str(tmp_path / "w{pid}")],
+    )
+    assert "load from" in outs[0]      # host 0 resumed from its checkpoint
+    assert "load from" not in outs[1]  # host 1 had nothing to load
+
+    from image_super_resolution_tpu.train import load_checkpoint
+
+    meta = load_checkpoint(ckpt)["meta"]
+    assert meta["epoch"] == 1  # resumed at epoch 1, ran exactly one more
+    assert np.all(np.isfinite(meta["loss"]))
