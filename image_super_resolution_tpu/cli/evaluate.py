@@ -78,6 +78,8 @@ def main(argv=None) -> dict:
     if opt.data_devices != 1:
         from ..core.mesh import batch_sharding, make_mesh
 
+        if opt.data_devices < 0:
+            raise SystemExit(f"--data_devices must be >= 0, got {opt.data_devices}")
         n_dev = opt.data_devices or jax.local_device_count()
         if opt.batch_size % n_dev:
             raise SystemExit(
@@ -88,14 +90,16 @@ def main(argv=None) -> dict:
             make_mesh(n_data=n_dev, n_tile=1, devices=jax.local_devices())
         )
 
+    import numpy as _np
+
     totals: dict = {}
     n = 0
     for batch in loader:
-        arr = jnp.asarray(batch)
         if batch_shard is not None:
-            import numpy as _np
-
+            # device_put straight from numpy: one host->device pass per shard
             arr = jax.device_put(_np.asarray(batch), batch_shard)
+        else:
+            arr = jnp.asarray(batch)
         metrics = eval_batch(arr)
         for k, v in metrics.items():
             totals[k] = totals.get(k, 0.0) + float(v)

@@ -200,6 +200,20 @@ def run_training(opt) -> None:
         vgg = TruncatedVGG19(i=5, j=4, before_act=opt.enchant)
         vgg_params, vgg_loaded = init_vgg_params(vgg, opt.vgg_weights,
                                                  with_status=True)
+        if jax.process_count() > 1:
+            # Hosts without a shared filesystem could silently fall back to
+            # random VGG features (init_vgg_params warns but proceeds) while
+            # host 0 uses real weights — per-host DIFFERENT loss programs
+            # whose gradients get psum-averaged. Broadcast proc 0's weights
+            # and its loaded/fallback decision.
+            from jax.experimental import multihost_utils
+
+            vgg_params = multihost_utils.broadcast_one_to_all(vgg_params)
+            vgg_loaded = bool(
+                multihost_utils.broadcast_one_to_all(
+                    jnp.asarray(int(vgg_loaded))
+                )
+            )
         # Random-weight fallback: RMS-normalize features so loss/content has a
         # reference-comparable magnitude (calibration measured in PERF.md).
         perceptual = PerceptualLoss(vgg_params, before_act=opt.enchant,

@@ -151,12 +151,25 @@ def resume_state(
 
     start_epoch = 0
     if matched == total and "opt_state" in ckpt:
-        opt_state = serialization.from_state_dict(state.opt_state, ckpt["opt_state"])
-        state = state.replace(
-            opt_state=opt_state,
-            step=jnp.asarray(ckpt["meta"].get("step", 0), jnp.int32),
-        )
-        start_epoch = int(ckpt["meta"]["epoch"]) + 1
+        try:
+            opt_state = serialization.from_state_dict(
+                state.opt_state, ckpt["opt_state"]
+            )
+        except (ValueError, KeyError) as e:
+            # e.g. a checkpoint saved before the coupled-L2 weight-decay fix
+            # serialized a different optax chain structure — resume the
+            # WEIGHTS tolerantly instead of crashing, like a final-epoch
+            # checkpoint (fresh optimizer, epochs restart).
+            print(
+                "WARNING: optimizer state in checkpoint is incompatible with "
+                f"the current optimizer ({e}); resuming weights only"
+            )
+        else:
+            state = state.replace(
+                opt_state=opt_state,
+                step=jnp.asarray(ckpt["meta"].get("step", 0), jnp.int32),
+            )
+            start_epoch = int(ckpt["meta"]["epoch"]) + 1
     if verbose:
         print(f"Loaded pre-trained {matched}/{total} model")
     return state, start_epoch

@@ -105,4 +105,6 @@ def test_eval_cli_data_devices_matches_single(tmp_path):
     single = eval_main(args)
     sharded = eval_main(args + ["--data_devices", "8"])
     for k in ("psnr", "psnr_y", "ssim"):
-        assert sharded[k] == single[k], (k, sharded[k], single[k])
+        # differently-partitioned XLA reductions need not be bit-identical
+        np.testing.assert_allclose(sharded[k], single[k], rtol=1e-4,
+                                   err_msg=k)

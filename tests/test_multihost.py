@@ -142,24 +142,46 @@ def test_two_process_gan_phase(tmp_path):
 
 def test_two_process_resume_without_shared_workdir(tmp_path):
     """Hosts need not share a filesystem: on --resume only host 0 may see
-    the checkpoint. Without the proc-0 state broadcast, host 1 would start
-    from scratch at epoch 0 and run a different number of epochs than host
-    0 — the same lockstep-deadlock class as uneven striping, plus silently
-    corrupted psum-averaged training. With it, both hosts resume from
-    host 0's state and finish together."""
+    the checkpoint. Without the proc-0 broadcast of (state, start_epoch),
+    host 0 would resume at epoch 1 and run ONE epoch while host 1 starts
+    at epoch 0 and runs TWO — unequal lockstep epoch counts (deadlock)
+    plus psum-averaging of divergent weights. With the broadcast, BOTH
+    hosts adopt host 0's resumed state and skip epoch 0 entirely.
+
+    The checkpoint is synthesized NON-final (final saves drop opt_state and
+    would not advance start_epoch — that degenerate case tests nothing)."""
+    import jax
+    import jax.numpy as jnp
+
+    from image_super_resolution_tpu.models import SRGenerator
+    from image_super_resolution_tpu.train import (
+        build_optimizer,
+        create_train_state,
+        load_checkpoint,
+        save_checkpoint,
+    )
+
     _make_manifest(tmp_path, 16)
     w0 = tmp_path / "w0"
     w1 = tmp_path / "w1"
     w0.mkdir()
     w1.mkdir()
 
-    # run 1: a 1-epoch pretrain whose checkpoint lands in w0 only
-    _run_workers(tmp_path, "pixel", extra=["--work_dir", str(w0)])
+    # Non-final epoch-0 checkpoint visible to host 0 only: same model and
+    # optimizer family the CLI builds, so its tree structures match.
+    model = SRGenerator(depth=1, add_rate=0.2, scale=2)
+    state = create_train_state(
+        model, (1, 24, 24, 3), build_optimizer(total_steps=4),
+        jax.random.PRNGKey(0), ema_tau=4.0,
+    )
+    state = state.replace(step=jnp.asarray(2, jnp.int32))
     ckpt = w0 / "res_mh_1_0.2.ckpt"
-    assert ckpt.exists()
+    save_checkpoint(ckpt, state, epoch=0,
+                    mean=[0.485, 0.456, 0.406], std=[0.229, 0.224, 0.225],
+                    loss_history=[0.1], final=False)
 
-    # run 2: per-host work dirs ({pid} substituted by the worker); only
-    # host 0 can see the run-1 checkpoint
+    # per-host work dirs ({pid} substituted by the worker): only host 0 can
+    # see the checkpoint
     outs = _run_workers(
         tmp_path, "pixel",
         extra=["--resume", "--epochs", "2",
@@ -167,9 +189,11 @@ def test_two_process_resume_without_shared_workdir(tmp_path):
     )
     assert "load from" in outs[0]      # host 0 resumed from its checkpoint
     assert "load from" not in outs[1]  # host 1 had nothing to load
-
-    from image_super_resolution_tpu.train import load_checkpoint
+    for out in outs:  # BOTH hosts adopted start_epoch=1: epoch 0 never ran
+        assert "Epoch [1]" in out
+        assert "Epoch [0]" not in out
 
     meta = load_checkpoint(ckpt)["meta"]
     assert meta["epoch"] == 1  # resumed at epoch 1, ran exactly one more
+    assert meta["step"] > 2    # continued from the synthesized step counter
     assert np.all(np.isfinite(meta["loss"]))

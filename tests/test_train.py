@@ -279,3 +279,44 @@ def test_optimizer_step_parity_with_torch():
     np.testing.assert_allclose(
         np.asarray(params["w"]), tw.detach().numpy(), rtol=1e-5, atol=1e-7
     )
+
+
+def test_resume_tolerates_incompatible_opt_state():
+    """A checkpoint whose serialized optimizer chain no longer matches the
+    current optimizer (e.g. saved before the coupled-L2 weight-decay fix
+    changed the optax chain length) must resume WEIGHTS tolerantly — like a
+    final-epoch checkpoint — not crash in from_state_dict."""
+    import optax
+    from flax import serialization as ser
+
+    from image_super_resolution_tpu.models import SRGenerator
+    from image_super_resolution_tpu.train import (
+        build_optimizer,
+        create_train_state,
+    )
+    from image_super_resolution_tpu.train.checkpoint import resume_state
+
+    model = SRGenerator(depth=1, width=8, scale=2, dtype=jnp.float32)
+    state = create_train_state(
+        model, (1, 16, 16, 3), build_optimizer(total_steps=4, weight_decay=0.05),
+        jax.random.PRNGKey(0),
+    )
+    # the OLD wd>0 optimizer: chain(clip, adamw) — a 2-element chain
+    old_tx = optax.chain(
+        optax.clip_by_global_norm(10.0), optax.adamw(1e-4, weight_decay=0.05)
+    )
+    ckpt = {
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+        "opt_state": jax.device_get(
+            ser.to_state_dict(old_tx.init(state.params))
+        ),
+        "meta": {"epoch": 3, "step": 40,
+                 "mean": [0.5] * 3, "std": [0.2] * 3, "loss": [0.1]},
+    }
+    resumed, start_epoch = resume_state(state, ckpt)
+    assert start_epoch == 0  # optimizer restarted; weights still loaded
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(resumed.params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(state.params)[0]),
+    )
