@@ -76,19 +76,21 @@ def main(argv=None) -> dict:
 
     batch_shard = None
     if opt.data_devices != 1:
-        from ..core.mesh import batch_sharding, make_mesh
+        from ..core.mesh import batch_sharding, serving_data_mesh
 
         if opt.data_devices < 0:
             raise SystemExit(f"--data_devices must be >= 0, got {opt.data_devices}")
-        n_dev = opt.data_devices or jax.local_device_count()
+        try:
+            mesh = serving_data_mesh(opt.data_devices)
+        except ValueError as e:
+            raise SystemExit(str(e))
+        n_dev = mesh.devices.size
         if opt.batch_size % n_dev:
             raise SystemExit(
                 f"--batch_size {opt.batch_size} must be divisible by "
                 f"--data_devices {n_dev}"
             )
-        batch_shard = batch_sharding(
-            make_mesh(n_data=n_dev, n_tile=1, devices=jax.local_devices())
-        )
+        batch_shard = batch_sharding(mesh)
 
     import numpy as _np
 

@@ -135,8 +135,6 @@ def run_training(opt) -> None:
     # DP sharding needs batch_size % n_devices == 0. Rather than silently
     # failing (or changing the user's batch size, which changes training
     # dynamics), shrink the data mesh to the largest compatible device count.
-    import math
-
     n_dev = jax.device_count()
     if jax.process_count() > 1:
         # Multi-host: --batch_size is PER HOST (each host loads its manifest
@@ -152,7 +150,9 @@ def run_training(opt) -> None:
               f"global batch {opt.batch_size * jax.process_count()}")
         n_data = n_dev
     else:
-        n_data = math.gcd(opt.batch_size, n_dev)
+        # largest device count (<= available) that divides the batch — gcd
+        # would under-use chips (e.g. batch 6 on 8 devices: gcd 2 vs 6)
+        n_data = max(d for d in range(1, n_dev + 1) if opt.batch_size % d == 0)
         if n_data != n_dev:
             print(f"Train: batch_size={opt.batch_size} not divisible by {n_dev} "
                   f"devices; using a {n_data}-device data mesh")
@@ -238,12 +238,23 @@ def run_training(opt) -> None:
                 if "d_opt_state" in ckpt:
                     from flax import serialization as _ser
 
-                    d_state = d_state.replace(
-                        opt_state=_ser.from_state_dict(
+                    try:
+                        d_opt = _ser.from_state_dict(
                             d_state.opt_state, ckpt["d_opt_state"]
-                        ),
-                        step=jnp.asarray(ckpt.get("d_step", 0), jnp.int32),
-                    )
+                        )
+                    except (ValueError, KeyError) as e:
+                        # same tolerance as resume_state: a pre-format-change
+                        # optimizer chain resumes weights-only with a warning
+                        print(
+                            "WARNING: discriminator optimizer state in "
+                            f"checkpoint is incompatible ({e}); resuming D "
+                            "weights only"
+                        )
+                    else:
+                        d_state = d_state.replace(
+                            opt_state=d_opt,
+                            step=jnp.asarray(ckpt.get("d_step", 0), jnp.int32),
+                        )
         else:
             state = warm_start_generator(state, res_ckpt_path)
     elif opt.resume and ckpt_path.is_file():

@@ -85,6 +85,25 @@ def local_mesh() -> Mesh:
     return make_mesh(n_tile=1)
 
 
+def serving_data_mesh(n_devices: int) -> Mesh:
+    """Data mesh over LOCAL devices for serving paths (0 = all local).
+
+    Serving meshes must come from ``jax.local_devices()``: ``jax.devices()``
+    orders process 0's devices first, so slicing it on another process of a
+    multi-process program would pick non-addressable devices. One definition
+    keeps rs.py / eval.py / TiledUpscaler policy aligned.
+    """
+    local = jax.local_devices()
+    n = n_devices or len(local)
+    if n < 1:
+        raise ValueError(f"data_devices must be >= 0, got {n_devices}")
+    if n > len(local):
+        raise ValueError(
+            f"data_devices={n} but only {len(local)} local devices available"
+        )
+    return make_mesh(n_data=n, n_tile=1, devices=local)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) dim over the data axis, replicate the rest."""
     return NamedSharding(mesh, P(DATA_AXIS))

@@ -130,10 +130,9 @@ class TiledUpscaler:
         elif data_devices > 1:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            from ..core.mesh import DATA_AXIS, batch_sharding, make_mesh
+            from ..core.mesh import DATA_AXIS, batch_sharding, serving_data_mesh
 
-            mesh = make_mesh(n_data=data_devices, n_tile=1,
-                             devices=jax.local_devices())
+            mesh = serving_data_mesh(data_devices)
             self._data_sharding = batch_sharding(mesh)
             # tile chunks are (n_chunks, batch, h, w, c): shard the
             # WITHIN-chunk batch dim so lax.map over chunks keeps every
