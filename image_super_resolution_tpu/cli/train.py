@@ -150,9 +150,9 @@ def run_training(opt) -> None:
               f"global batch {opt.batch_size * jax.process_count()}")
         n_data = n_dev
     else:
-        # largest device count (<= available) that divides the batch — gcd
-        # would under-use chips (e.g. batch 6 on 8 devices: gcd 2 vs 6)
-        n_data = max(d for d in range(1, n_dev + 1) if opt.batch_size % d == 0)
+        from ..core.mesh import largest_divisible_device_count
+
+        n_data = largest_divisible_device_count(opt.batch_size, n_dev)
         if n_data != n_dev:
             print(f"Train: batch_size={opt.batch_size} not divisible by {n_dev} "
                   f"devices; using a {n_data}-device data mesh")

@@ -85,6 +85,13 @@ def local_mesh() -> Mesh:
     return make_mesh(n_tile=1)
 
 
+def largest_divisible_device_count(batch_size: int, n_devices: int) -> int:
+    """Largest device count <= n_devices that divides batch_size — the DP
+    mesh-shrink rule (keep the user's batch, drop chips only as needed;
+    gcd would under-use chips, e.g. batch 6 on 8 devices: gcd 2 vs 6)."""
+    return max(d for d in range(1, max(n_devices, 1) + 1) if batch_size % d == 0)
+
+
 def serving_data_mesh(n_devices: int) -> Mesh:
     """Data mesh over LOCAL devices for serving paths (0 = all local).
 

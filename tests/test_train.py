@@ -320,3 +320,16 @@ def test_resume_tolerates_incompatible_opt_state():
         np.asarray(jax.tree_util.tree_leaves(resumed.params)[0]),
         np.asarray(jax.tree_util.tree_leaves(state.params)[0]),
     )
+
+
+def test_mesh_shrink_largest_divisor():
+    """The DP mesh-shrink rule keeps the most chips that divide the batch."""
+    from image_super_resolution_tpu.core.mesh import (
+        largest_divisible_device_count as f,
+    )
+
+    assert f(16, 8) == 8   # clean fit
+    assert f(6, 8) == 6    # NOT gcd(6, 8) == 2
+    assert f(7, 8) == 7
+    assert f(5, 4) == 1    # prime batch larger than devices
+    assert f(2, 8) == 2
