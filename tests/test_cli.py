@@ -343,3 +343,19 @@ def test_cli_rs_directory_dotted_stems_and_bad_file(workspace):
     ])
     outs = sorted(p.name for p in outdir.glob("*.png"))
     assert outs == ["a.v2.png", "a.v3.png"]
+
+
+def test_cli_gan_resume(workspace):
+    """GAN-phase --resume end to end: generator + EMA + D params reload from
+    the checkpoint (final checkpoints drop optimizer states, so both
+    optimizers restart — reference semantics) and training completes."""
+    ws = workspace
+    ckpt = ws / "gen_t_1_0.2.ckpt"
+    if not ckpt.exists():
+        _train_gan(ws)
+    train_main([
+        "--scale", "2", "--save_name", "t", "--resume",
+        "--train_json", str(ws / "train_images.json"),
+        "--work_dir", str(ws), *COMMON,
+    ])
+    _assert_really_trained(ckpt)
