@@ -9,6 +9,7 @@ cross-process seam (two optimizers + perceptual loss + D state) that a
 pixel-only smoke never exercises.
 """
 
+import os
 import sys
 
 import jax
@@ -20,11 +21,12 @@ phases = sys.argv[4].split("+") if len(sys.argv) > 4 else ["pixel"]
 # "{pid}" in extra args is substituted per process — lets tests give hosts
 # DIFFERENT work dirs (unshared-filesystem scenarios).
 extra = [a.replace("{pid}", str(pid)) for a in sys.argv[5:]]
+nproc = int(os.environ.get("_ISR_MH_NPROC", "2"))
 
 jax.distributed.initialize(
-    coordinator_address=f"127.0.0.1:{port}", num_processes=2, process_id=pid
+    coordinator_address=f"127.0.0.1:{port}", num_processes=nproc, process_id=pid
 )
-assert jax.process_count() == 2 and jax.device_count() == 8
+assert jax.process_count() == nproc
 
 from image_super_resolution_tpu.cli.train import main as train_main  # noqa: E402
 

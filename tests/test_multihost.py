@@ -69,8 +69,9 @@ def _make_manifest(tmp_path, n_images: int) -> None:
     cj(["--train_dirs", str(img_dir), "--shape", "32", "--output", str(tmp_path)])
 
 
-def _run_workers(tmp_path, phase: str, extra=(), timeout=900):
+def _run_workers(tmp_path, phase: str, extra=(), timeout=900, n_procs=2):
     env = _scrubbed_env(4)
+    env["_ISR_MH_NPROC"] = str(n_procs)
     worker = str(REPO / "tests" / "multihost_worker.py")
     port = _free_port()
     procs = [
@@ -80,7 +81,7 @@ def _run_workers(tmp_path, phase: str, extra=(), timeout=900):
             env=env, cwd=str(REPO),
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         )
-        for pid in (0, 1)
+        for pid in range(n_procs)
     ]
     outs = []
     for p in procs:
@@ -196,4 +197,22 @@ def test_two_process_resume_without_shared_workdir(tmp_path):
     meta = load_checkpoint(ckpt)["meta"]
     assert meta["epoch"] == 1  # resumed at epoch 1, ran exactly one more
     assert meta["step"] > 2    # continued from the synthesized step counter
+    assert np.all(np.isfinite(meta["loss"]))
+
+
+def test_three_process_uneven_manifest(tmp_path):
+    """Nothing in the multi-host path may assume exactly two hosts: three
+    processes (12 global devices) over a 23-image manifest must agree on
+    stripes (7 each, 2 dropped) and complete in lockstep."""
+    _make_manifest(tmp_path, 23)
+    outs = _run_workers(tmp_path, "pixel", n_procs=3)
+
+    assert "multi-host 3 processes, global batch 12" in outs[0]
+    for out in outs:
+        assert "7 images, 1 steps/epoch" in out
+
+    from image_super_resolution_tpu.train import load_checkpoint
+
+    meta = load_checkpoint(tmp_path / "res_mh_1_0.2.ckpt")["meta"]
+    assert meta["step"] > 0
     assert np.all(np.isfinite(meta["loss"]))
