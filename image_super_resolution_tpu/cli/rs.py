@@ -180,6 +180,18 @@ def _run_image(engine, src: Path, out: Path) -> Path:
 
 def _run_video(engine, deployed, src: Path, out: Path, batch_size: int,
                codec: str | None = None) -> Path:
+    """Pipelined video SR: three stages overlapped.
+
+    - a background thread DECODES the next batch (cv2 releases the GIL);
+    - the device COMPUTES the current batch (dispatch, no fetch);
+    - the main thread FETCHES + ENCODES the previous batch meanwhile.
+
+    The reference loop (rs.py:60-74) serialized decode -> compute -> fetch
+    -> encode per batch; here each stage hides behind the slowest one.
+    Output is identical (tests/test_video.py)."""
+    import queue
+    import threading
+
     from ..video.reader import VideoSource
     from ..video.recorder import FFMPEGRecorder
 
@@ -193,12 +205,49 @@ def _run_video(engine, deployed, src: Path, out: Path, batch_size: int,
         fps=source.fps,
         codec=codec,
     )
+
+    q: "queue.Queue" = queue.Queue(maxsize=2)
+    done = object()
+    producer_exc: list = []
+
+    def decode():
+        try:
+            for item in source.batches(batch_size):
+                q.put(item)
+        except BaseException as e:  # surface decoder failures to the consumer
+            producer_exc.append(e)
+        finally:
+            q.put(done)
+
+    threading.Thread(target=decode, daemon=True).start()
+
     n = 0
-    for batch, n_valid in source.batches(batch_size):
-        sr = engine.upscale_batch(batch)  # uint8 NHWC RGB
-        for frame in np.asarray(sr)[:n_valid]:
-            recorder.write_frame(frame[..., ::-1])  # RGB -> BGR
-            n += 1
+    pending = None  # (device result, n_valid) — fetched one batch behind
+    try:
+        while True:
+            item = q.get()
+            if item is done:
+                break
+            batch, n_valid = item
+            sr_dev, _ = engine.upscale_batch_device(batch)
+            if pending is not None:  # previous batch: fetch + encode now,
+                for frame in np.asarray(pending[0])[: pending[1]]:  # overlapped
+                    recorder.write_frame(frame[..., ::-1])  # RGB -> BGR
+                    n += 1
+            pending = (sr_dev, n_valid)
+        if pending is not None:
+            for frame in np.asarray(pending[0])[: pending[1]]:
+                recorder.write_frame(frame[..., ::-1])
+                n += 1
+        if producer_exc:
+            raise RuntimeError("video decode failed") from producer_exc[0]
+    finally:
+        # unblock a put-blocked producer if encoding failed mid-stream
+        while True:
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
     recorder.stop_recorder()
     recorder.add_audio(src)
     source.close()

@@ -142,11 +142,16 @@ class TiledUpscaler:
             self.batch_size = -(-batch_size // data_devices) * data_devices
 
     # -- whole frames (video path): fixed shape, one compiled program -------
-    def upscale_batch(self, batch_u8: np.ndarray) -> np.ndarray:
-        """uint8 NHWC RGB -> uint8 NHWC RGB at the model scale."""
-        if self._data_sharding is None:
-            return np.asarray(self.deployed(jnp.asarray(batch_u8)))
+    def upscale_batch_device(self, batch_u8: np.ndarray):
+        """Dispatch only: uint8 NHWC in -> (device result, n_input_frames).
+
+        Returns without the blocking host fetch, so callers can pipeline —
+        fetch/encode batch k-1 on the host while batch k computes on the
+        device (cli/rs.py video path). Call ``np.asarray(out)[:n]`` to
+        materialize."""
         n = batch_u8.shape[0]
+        if self._data_sharding is None:
+            return self.deployed(jnp.asarray(batch_u8)), n
         pad = -n % self.data_devices
         if pad:  # fixed per-device shapes: repeat the last frame, crop after
             batch_u8 = np.concatenate(
@@ -156,7 +161,12 @@ class TiledUpscaler:
         # (jnp.asarray first would copy the whole batch to device 0 and then
         # reshard device-to-device — double transfer in a relay-bound env).
         arr = jax.device_put(np.ascontiguousarray(batch_u8), self._data_sharding)
-        return np.asarray(self.deployed(arr))[:n]
+        return self.deployed(arr), n
+
+    def upscale_batch(self, batch_u8: np.ndarray) -> np.ndarray:
+        """uint8 NHWC RGB -> uint8 NHWC RGB at the model scale."""
+        out, n = self.upscale_batch_device(batch_u8)
+        return np.asarray(out)[:n]
 
     # -- arbitrary-size single images: overlap tiling ------------------------
     def upscale_image(self, image_u8: np.ndarray) -> np.ndarray:
