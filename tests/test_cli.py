@@ -17,6 +17,11 @@ from image_super_resolution_tpu.cli.train import main as train_main
 
 @pytest.fixture(scope="module")
 def workspace(tmp_path_factory):
+    """Images + manifest + a pixel-phase checkpoint + exported artifact.
+
+    Building the checkpoint/artifact HERE (not in a test) lets every test in
+    this module run standalone under -k selection without depending on
+    test execution order."""
     from PIL import Image
 
     ws = tmp_path_factory.mktemp("ws")
@@ -32,6 +37,16 @@ def workspace(tmp_path_factory):
         "--shape", "48", "--output", str(ws),
     ])
     assert (ws / "train_images.json").exists()
+
+    train_main([
+        "--resnet", "--scale", "2", "--save_name", "t",
+        "--train_json", str(ws / "train_images.json"),
+        "--work_dir", str(ws), *COMMON,
+    ])
+    export_main([
+        "--checkpoint", str(ws / "res_t_1_0.2.ckpt"),
+        "--out", str(ws / "model.isr"), "--rs_deep", "1", "--scale", "2",
+    ])
     return ws
 
 
@@ -52,21 +67,12 @@ def _assert_really_trained(ckpt_path):
 
 
 def test_cli_pixel_phase_then_export_then_rs(workspace):
+    """Verify the fixture's pixel train -> export chain, then run rs."""
     ws = workspace
-    train_main([
-        "--resnet", "--scale", "2", "--save_name", "t",
-        "--train_json", str(ws / "train_images.json"),
-        "--work_dir", str(ws), *COMMON,
-    ])
     ckpt = ws / "res_t_1_0.2.ckpt"
     assert ckpt.exists()
     _assert_really_trained(ckpt)
-
     artifact = ws / "model.isr"
-    export_main([
-        "--checkpoint", str(ckpt), "--out", str(artifact),
-        "--rs_deep", "1", "--scale", "2",
-    ])
     assert artifact.exists()
 
     rs_main([
