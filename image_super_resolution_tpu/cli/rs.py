@@ -129,15 +129,50 @@ def run(
                 k += 1
             used.add(name)
             out_names.append(name)
-        failed = []
-        for p, out_name in zip(images, out_names):
-            try:
-                _run_image(engine, p, out_path / out_name)
-            except Exception as e:  # one bad file must not kill the batch
-                import warnings
+        # Pipelined like the video path: a small IO pool reads the NEXT
+        # image and writes the PREVIOUS result while the device upscales the
+        # current one — decode/encode hide behind compute on real hosts.
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
 
-                failed.append(p.name)
-                warnings.warn(f"skipping {p}: {type(e).__name__}: {e}")
+        failed = []
+
+        def fail(name, e):
+            import warnings
+
+            failed.append(name)
+            warnings.warn(f"skipping {name}: {type(e).__name__}: {e}")
+
+        items = list(zip(images, out_names))
+        with ThreadPoolExecutor(max_workers=2) as io_pool:
+            depth = 2
+            reads = deque(
+                (p, name, io_pool.submit(_read_image_rgb, p))
+                for p, name in items[:depth]
+            )
+            next_i = len(reads)
+            writes = []
+            while reads:
+                p, out_name, fut = reads.popleft()
+                if next_i < len(items):
+                    p2, n2 = items[next_i]
+                    reads.append((p2, n2, io_pool.submit(_read_image_rgb, p2)))
+                    next_i += 1
+                try:  # one bad file must not kill the batch
+                    image = fut.result()
+                    print("input shape", image.shape, p.name)
+                    result = engine.upscale_image(image)
+                    writes.append(
+                        (p.name, io_pool.submit(_write_png, out_path / out_name,
+                                                result))
+                    )
+                except Exception as e:
+                    fail(p.name, e)
+            for name, wf in writes:
+                try:
+                    wf.result()
+                except Exception as e:
+                    fail(name, e)
         if failed:
             print(f"batch done with {len(failed)} failure(s): {failed[:5]}")
             if len(failed) == len(images):
@@ -164,18 +199,23 @@ def _read_image_rgb(path: Path) -> np.ndarray:
     return img[..., ::-1].copy()
 
 
-def _run_image(engine, src: Path, out: Path) -> Path:
+def _write_png(out: Path, result_rgb: np.ndarray) -> Path:
     import cv2
 
+    out.parent.mkdir(parents=True, exist_ok=True)
+    if not cv2.imwrite(str(out), result_rgb[..., ::-1]):
+        raise IOError(f"failed to write {out}")
+    print("output shape", result_rgb.shape, str(out))
+    return out
+
+
+def _run_image(engine, src: Path, out: Path) -> Path:
     image = _read_image_rgb(src)
     print("input shape", image.shape)
     result = engine.upscale_image(image)
     if out.suffix.lower() != ".png":  # append, never replace: "a.v2" is a
         out = out.parent / (out.name + ".png")  # stem, not a suffix to drop
-    out.parent.mkdir(parents=True, exist_ok=True)
-    cv2.imwrite(str(out), result[..., ::-1])
-    print("output shape", result.shape, str(out))
-    return out
+    return _write_png(out, result)
 
 
 def _run_video(engine, deployed, src: Path, out: Path, batch_size: int,
