@@ -248,18 +248,33 @@ def _run_video(engine, deployed, src: Path, out: Path, batch_size: int,
 
     q: "queue.Queue" = queue.Queue(maxsize=2)
     done = object()
+    stop = threading.Event()
     producer_exc: list = []
+
+    def put(item) -> bool:
+        # Bounded put that gives up once the consumer stopped (mirrors
+        # DevicePrefetcher._put) — a plain q.put would re-block after a
+        # single drain and leak the thread on encode/compute failure.
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def decode():
         try:
             for item in source.batches(batch_size):
-                q.put(item)
+                if not put(item):
+                    return
         except BaseException as e:  # surface decoder failures to the consumer
             producer_exc.append(e)
         finally:
-            q.put(done)
+            put(done)
 
-    threading.Thread(target=decode, daemon=True).start()
+    producer = threading.Thread(target=decode, daemon=True)
+    producer.start()
 
     n = 0
     pending = None  # (device result, n_valid) — fetched one batch behind
@@ -282,15 +297,18 @@ def _run_video(engine, deployed, src: Path, out: Path, batch_size: int,
         if producer_exc:
             raise RuntimeError("video decode failed") from producer_exc[0]
     finally:
-        # unblock a put-blocked producer if encoding failed mid-stream
-        while True:
+        stop.set()
+        while True:  # drain so a put-blocked producer observes the stop
             try:
                 q.get_nowait()
             except queue.Empty:
                 break
-    recorder.stop_recorder()
+        producer.join(timeout=30)
+        # always release the ffmpeg child + capture, even on failure —
+        # library/repeated use would otherwise leak both
+        recorder.stop_recorder()
+        source.close()
     recorder.add_audio(src)
-    source.close()
     print(f"wrote {n} frames -> {out}")
     return out
 

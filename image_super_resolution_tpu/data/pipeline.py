@@ -147,6 +147,7 @@ class PatchLoader:
             self.samples = self.samples[:keep][process_index or 0 :: process_count]
             assert len(self.samples) == per_host
         self.config = config
+        self.process_count = int(process_count or 1)
         self.patch = ground_up(config.patch_size, max(config.scale, 1))
         self._epoch = 0
         self._backend_choice: Optional[str] = None
@@ -170,24 +171,45 @@ class PatchLoader:
 
         Always computed over the FULL manifest (not the per-host stripe), so
         in multi-host runs every process derives the same constants and all
-        SPMD programs compile identically.
+        SPMD programs compile identically. Hosts without a shared data
+        filesystem may still skip DIFFERENT unreadable images, so in
+        multi-host runs process 0's result is broadcast to everyone — the
+        constants get baked into each host's compiled program and must match
+        exactly.
         """
         s = np.zeros(3)
         ss = np.zeros(3)
         count = 0
+        skipped = 0
         for path in self.full_samples[:max_images]:
             img = _read_rgb(path)
             if img is None:
+                skipped += 1
                 continue
             x = img.reshape(-1, 3).astype(np.float64) / 255.0
             s += x.sum(0)
             ss += (x**2).sum(0)
             count += x.shape[0]
+        if skipped:
+            import warnings
+
+            warnings.warn(
+                f"calculate_stats skipped {skipped} unreadable manifest "
+                "image(s); stats computed from the readable remainder"
+            )
         if count:
             mean = s / count
             std = np.sqrt(np.maximum(ss / count - mean**2, 1e-12))
             self.mean = tuple(float(v) for v in mean)
             self.std = tuple(float(v) for v in std)
+        if self.process_count > 1:
+            from jax.experimental import multihost_utils
+
+            stats = multihost_utils.broadcast_one_to_all(
+                np.asarray([self.mean, self.std], np.float64)
+            )
+            self.mean = tuple(float(v) for v in np.asarray(stats)[0])
+            self.std = tuple(float(v) for v in np.asarray(stats)[1])
         return list(self.mean), list(self.std)
 
     def _load_patch(self, path: str, rng: np.random.Generator) -> np.ndarray:

@@ -154,37 +154,43 @@ def init_vgg_params(
             # Raw torchvision state_dict: auto-convert once to a cached npz
             # beside it (torch is installed here), so users with torchvision
             # VGG19 weights get reference-parity perceptual loss without a
-            # manual convert_torch_vgg19 call. Written atomically (tmp +
-            # os.replace) so concurrent multi-process training never loads
-            # a half-written zip; a read-only weights dir falls back to an
-            # uncached conversion in a temp dir.
+            # manual convert_torch_vgg19 call. The conversion happens ONCE
+            # into a private temp dir (a broken .pth therefore fails loudly
+            # instead of re-running the failing conversion in a fallback);
+            # only the cache-placement step — atomic tmp + os.replace so
+            # concurrent multi-process training never loads a half-written
+            # zip — tolerates a read-only weights dir, by loading from the
+            # temp conversion instead.
+            import atexit
             import os
+            import shutil
             import tempfile
 
             cached = p.parent / (p.name + ".npz")
             if not cached.exists() or cached.stat().st_mtime < p.stat().st_mtime:
                 print(f"converting torchvision VGG19 {p} -> {cached}", flush=True)
-                tmp = None
+                tmp_dir = tempfile.mkdtemp(prefix="isr_vgg_")
+                atexit.register(shutil.rmtree, tmp_dir, ignore_errors=True)
+                converted = Path(tmp_dir) / (p.name + ".npz")
+                convert_torch_vgg19(p, converted)  # errors propagate
                 try:
                     # suffix must END in .npz: np.savez appends it otherwise
                     fd, tmp = tempfile.mkstemp(
                         dir=str(p.parent), suffix=".tmp.npz"
                     )
+                except OSError:  # weights dir not writable: skip the cache
+                    cached = converted
+                else:
                     os.close(fd)
-                    convert_torch_vgg19(p, tmp)
-                    os.replace(tmp, cached)
-                    tmp = None  # consumed by the rename
-                except OSError:
-                    # weights dir not writable: convert without caching
-                    tmp_dir = tempfile.mkdtemp(prefix="isr_vgg_")
-                    cached = Path(tmp_dir) / (p.name + ".npz")
-                    convert_torch_vgg19(p, cached)
-                finally:
-                    if tmp is not None:  # conversion failed: no orphan files
+                    try:
+                        shutil.copyfile(converted, tmp)
+                        os.replace(tmp, cached)
+                    except OSError:
                         try:
                             os.unlink(tmp)
                         except OSError:
                             pass
+                        cached = converted
             p = cached
         params = load_vgg19_npz(p, params)
         loaded = True
