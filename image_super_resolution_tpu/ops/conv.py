@@ -22,7 +22,7 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .activations import ActSpec, apply_act
+from .activations import ActSpec, PReLU, apply_act, is_prelu
 from .initializers import torch_bias_init, torch_kernel_init
 from ..utils.general import autopad
 
@@ -80,6 +80,20 @@ class ConvBlock(nn.Module):
             )(x)
         if self.dropout > 0.0:
             x = nn.Dropout(rate=self.dropout, deterministic=not train)(x)
+        if is_prelu(self.act):
+            # Learnable activation: "prelu" = torch's single shared slope;
+            # ("prelu", n) with n != 1 = one slope per OUT channel — the
+            # reference Conv's channel-fix (utils/models.py:92-94) collapses
+            # any multi-parameter PReLU to exactly that.
+            per_channel = (
+                isinstance(self.act, tuple) and len(self.act) > 1
+                and self.act[1] not in (None, 1)
+            )
+            return PReLU(
+                channelwise=per_channel,
+                param_dtype=self.param_dtype,
+                name="prelu",
+            )(x)
         return apply_act(x, self.act)
 
 

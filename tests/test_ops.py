@@ -61,6 +61,83 @@ def test_conv_matches_torch_conv2d():
     )
 
 
+@pytest.mark.parametrize("channelwise", [False, True])
+def test_prelu_matches_torch(channelwise):
+    """PReLU forward + alpha-gradient parity vs torch nn.PReLU."""
+    import torch
+
+    from image_super_resolution_tpu.ops.activations import PReLU
+
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((2, 5, 5, 8)).astype(np.float32)
+    alpha = rng.uniform(-0.5, 0.5, (8 if channelwise else 1,)).astype(np.float32)
+
+    t = torch.nn.PReLU(8 if channelwise else 1)
+    with torch.no_grad():
+        t.weight.copy_(torch.from_numpy(alpha))
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2)).requires_grad_(True)
+    out_t = t(xt)
+    out_t.sum().backward()
+
+    m = PReLU(channelwise=channelwise)
+    variables = {"params": {"alpha": jnp.asarray(alpha)}}
+    got = m.apply(variables, jnp.asarray(x))
+    np.testing.assert_allclose(
+        np.asarray(got).transpose(0, 3, 1, 2), out_t.detach().numpy(), rtol=1e-6
+    )
+
+    grad = jax.grad(lambda v: m.apply(v, jnp.asarray(x)).sum())(variables)
+    np.testing.assert_allclose(
+        np.asarray(grad["params"]["alpha"]), t.weight.grad.numpy(),
+        rtol=1e-4, atol=1e-4,
+    )
+
+
+def test_conv_prelu_channel_fix():
+    """ConvBlock with a prelu spec: shared slope for "prelu", one slope per
+    OUT channel for ("prelu", n>1) — the reference Conv's channel-fix
+    (utils/models.py:92-94)."""
+    m = ConvBlock(8, 3, act="prelu", use_bn=False, dtype=jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 6, 6, 3)))
+    assert v["params"]["prelu"]["alpha"].shape == (1,)
+    assert float(v["params"]["prelu"]["alpha"][0]) == 0.25
+
+    m2 = ConvBlock(8, 3, act=("prelu", 2), use_bn=False, dtype=jnp.float32)
+    v2 = m2.init(jax.random.PRNGKey(0), jnp.zeros((1, 6, 6, 3)))
+    assert v2["params"]["prelu"]["alpha"].shape == (8,)
+    out = m2.apply(v2, np.random.default_rng(0).standard_normal((1, 6, 6, 3)))
+    assert out.shape == (1, 6, 6, 8)
+
+
+def test_act_list_breadth_matches_torch():
+    """Every non-learnable reference ACT_LIST entry (utils/general.py:10-12)
+    has a spec; values match the torch modules."""
+    import torch
+
+    from image_super_resolution_tpu.ops.activations import apply_act
+
+    x = np.linspace(-4, 4, 41, dtype=np.float32).reshape(1, 41)
+    pairs = {
+        ("leaky_relu", 0.2): torch.nn.LeakyReLU(0.2),
+        "relu": torch.nn.ReLU(),
+        "relu6": torch.nn.ReLU6(),
+        "hardswish": torch.nn.Hardswish(),
+        "silu": torch.nn.SiLU(),
+        "tanh": torch.nn.Tanh(),
+        "sigmoid": torch.nn.Sigmoid(),
+        ("elu", None): torch.nn.ELU(),
+        "softmax": torch.nn.Softmax(dim=-1),
+        "hardsigmoid": torch.nn.Hardsigmoid(),
+        "gelu": torch.nn.GELU(),
+        "softsign": torch.nn.Softsign(),
+        "softplus": torch.nn.Softplus(),
+    }
+    for spec, mod in pairs.items():
+        want = mod(torch.from_numpy(x)).numpy()
+        got = np.asarray(apply_act(jnp.asarray(x), spec))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6, err_msg=str(spec))
+
+
 @pytest.mark.parametrize("model_ctor,shape", [
     (lambda: SRGenerator(depth=2, scale=2, dtype=jnp.float32), (1, 16, 16, 3)),
     (lambda: Denoiser(depth=2, dtype=jnp.float32), (1, 16, 16, 3)),
