@@ -365,3 +365,39 @@ def test_cli_gan_resume(workspace):
         "--work_dir", str(ws), *COMMON,
     ])
     _assert_really_trained(ckpt)
+
+
+def test_cli_demo_out_of_box(tmp_path):
+    """One-command demo: bundled reference model.pt -> demo.isr -> restored
+    test card with PSNR report, then the --src path on a user image."""
+    ref_pt = Path("/root/reference/model.pt")
+    if not ref_pt.exists():
+        pytest.skip("no reference checkout")
+    from PIL import Image
+
+    from image_super_resolution_tpu.cli.demo import main as demo_main
+
+    out_dir = tmp_path / "demo"
+    demo_main(["--model_pt", str(ref_pt), "--out_dir", str(out_dir),
+               "--window_size", "64"])
+    assert (out_dir / "demo.isr").exists()
+    restored = np.asarray(Image.open(out_dir / "restored.png"))
+    clean = np.asarray(Image.open(out_dir / "clean.png"))
+    assert restored.shape == clean.shape and restored.dtype == np.uint8
+
+    src = tmp_path / "photo.png"
+    Image.fromarray(
+        np.random.default_rng(0).integers(0, 255, (48, 40, 3), dtype=np.uint8)
+    ).save(src)
+    out = demo_main(["--model_pt", str(ref_pt), "--out_dir", str(out_dir),
+                     "--src", str(src), "--window_size", "64"])
+    assert out.exists() and out.name == "photo_restored.png"
+
+
+def test_cli_demo_missing_model_pt(tmp_path, monkeypatch):
+    """Without any bundled model.pt the demo fails with a pointed error."""
+    from image_super_resolution_tpu.cli import demo
+
+    monkeypatch.setattr(demo, "_SEARCH", (str(tmp_path / "nope.pt"),))
+    with pytest.raises(FileNotFoundError, match="--model_pt"):
+        demo.main(["--out_dir", str(tmp_path)])
