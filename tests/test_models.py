@@ -183,3 +183,75 @@ def test_vgg_pth_auto_convert(tmp_path):
         np.asarray(params2["conv2"]["kernel"]),
         np.transpose(sd["features.5.weight"].numpy(), (2, 3, 1, 0)),
     )
+
+
+@pytest.mark.parametrize("i,j,before_act", [(5, 4, False), (5, 4, True), (3, 2, False)])
+def test_vgg_pth_feature_parity_vs_torch(tmp_path, i, j, before_act):
+    """The exact path a user with real ImageNet weights takes — a
+    torchvision-layout vgg19 .pth through init_vgg_params — produces the
+    same truncated features torch produces from the SAME .pth (reference
+    TruncatedVGG19, utils/models.py:454-510). Weights are random-but-saved
+    (He-scaled so 16 ReLU convs don't overflow); parity here proves the
+    converter + layout + truncation are bit-correct for any weights,
+    ImageNet's included."""
+    import numpy as np
+    import torch
+    import torch.nn as tnn
+
+    from image_super_resolution_tpu.models.vgg import (
+        TruncatedVGG19,
+        init_vgg_params,
+    )
+
+    # torchvision vgg19().features layout: convs at indices
+    # 0,2,5,7,10,12,14,16,19,21,23,25,28,30,32,34; pools at 4,9,18,27,36.
+    cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
+           512, 512, 512, 512, "M", 512, 512, 512, 512, "M"]
+    layers, cin = [], 3
+    for v in cfg:
+        if v == "M":
+            layers.append(tnn.MaxPool2d(2, 2))
+        else:
+            layers += [tnn.Conv2d(cin, v, 3, padding=1), tnn.ReLU()]
+            cin = v
+    features = tnn.Sequential(*layers)
+
+    rng = np.random.default_rng(7)
+    sd = {}
+    for idx, mod in enumerate(features):
+        if isinstance(mod, tnn.Conv2d):
+            co, ci = mod.out_channels, mod.in_channels
+            sd[f"{idx}.weight"] = torch.from_numpy(
+                (rng.standard_normal((co, ci, 3, 3)) * np.sqrt(2.0 / (ci * 9)))
+                .astype(np.float32))
+            sd[f"{idx}.bias"] = torch.from_numpy(
+                (0.01 * rng.standard_normal((co,))).astype(np.float32))
+    features.load_state_dict(sd, strict=True)
+    pth = tmp_path / "vgg19.pth"
+    torch.save({f"features.{k}": v for k, v in sd.items()}, pth)
+
+    # torch truncation exactly as the reference scans it
+    convs = pools = 0
+    trunc = None
+    for idx, mod in enumerate(features):
+        if isinstance(mod, tnn.MaxPool2d):
+            pools += 1
+            convs = 0
+        elif isinstance(mod, tnn.Conv2d):
+            convs += 1
+        if pools == i - 1 and convs == j and isinstance(mod, tnn.Conv2d):
+            trunc = idx + (1 if before_act else 2)  # keep conv [, relu]
+            break
+    truncated = features[:trunc]
+
+    x = rng.standard_normal((2, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = truncated(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+
+    model = TruncatedVGG19(i=i, j=j, before_act=before_act, dtype=jnp.float32)
+    params, loaded = init_vgg_params(model, pth, with_status=True)
+    assert loaded
+    got = np.asarray(model.apply({"params": params}, jnp.asarray(x)))
+    np.testing.assert_allclose(
+        got.transpose(0, 3, 1, 2), want, rtol=2e-4, atol=2e-4 * np.abs(want).max()
+    )
