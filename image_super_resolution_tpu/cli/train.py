@@ -73,6 +73,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help="epochs between checkpoint saves (reference "
                              "saves every epoch; raise this when epochs are "
                              "short — each GAN save fetches the full D state)")
+    parser.add_argument("--ckpt_backend", type=str, default="msgpack",
+                        choices=["msgpack", "orbax"],
+                        help="checkpoint format: single msgpack file "
+                             "(default) or an Orbax directory with the same "
+                             "payload/lifecycle (train/orbax_io.py)")
     return parser
 
 
@@ -111,6 +116,14 @@ def run_training(opt) -> None:
     phase = "denoise" if opt.train_denoise else ("pixel" if opt.resnet else "gan")
     ckpt_path = work_dir / checkpoint_name(phase, opt.save_name, opt.rs_deep, opt.add_rate)
     res_ckpt_path = work_dir / checkpoint_name("pixel", opt.save_name, opt.rs_deep, opt.add_rate)
+    if opt.ckpt_backend == "orbax":
+        # Same name + lifecycle, but the checkpoint is a DIRECTORY; both
+        # backends load into the common dict layout, so resume/warm-start
+        # logic below is backend-agnostic via these two bindings.
+        from ..train.orbax_io import (load_checkpoint_orbax as load_ckpt,
+                                      save_checkpoint_orbax as save_ckpt)
+    else:
+        load_ckpt, save_ckpt = load_checkpoint, save_checkpoint
     logger = MetricsLogger(work_dir, opt.save_name,
                            use_tensorboard=not opt.no_tensorboard,
                            enabled=jax.process_index() == 0)
@@ -222,9 +235,9 @@ def run_training(opt) -> None:
 
     start_epoch = 0
     if phase == "gan":
-        if opt.resume and ckpt_path.is_file():
+        if opt.resume and ckpt_path.exists():  # orbax ckpts are directories
             print(f"Train: load state dict from {ckpt_path}")
-            ckpt = load_checkpoint(ckpt_path)
+            ckpt = load_ckpt(ckpt_path)
             state, start_epoch = resume_state(state, ckpt)
             if "d_params" in ckpt:
                 from ..utils.general import intersect_trees
@@ -256,10 +269,10 @@ def run_training(opt) -> None:
                             step=jnp.asarray(ckpt.get("d_step", 0), jnp.int32),
                         )
         else:
-            state = warm_start_generator(state, res_ckpt_path)
-    elif opt.resume and ckpt_path.is_file():
+            state = warm_start_generator(state, res_ckpt_path, load_fn=load_ckpt)
+    elif opt.resume and ckpt_path.exists():
         print(f"load from {ckpt_path}")
-        state, start_epoch = resume_state(state, load_checkpoint(ckpt_path))
+        state, start_epoch = resume_state(state, load_ckpt(ckpt_path))
 
     # Reference dumps the first 10 batches of hr/lr images to TensorBoard as a
     # visual pipeline check when not resuming (train.py:250-256).
@@ -389,7 +402,7 @@ def run_training(opt) -> None:
                     )
                     extra["d_step"] = int(jax.device_get(d_state.step))
             if jax.process_index() == 0:  # one writer in multi-host runs
-                save_checkpoint(
+                save_ckpt(
                     ckpt_path, state, epoch, mean, std, losses,
                     final=final, extra=extra,
                 )

@@ -176,11 +176,16 @@ def resume_state(
 
 
 def warm_start_generator(
-    g_state: TrainState, pretrain_ckpt_path: str | Path, verbose: bool = True
+    g_state: TrainState, pretrain_ckpt_path: str | Path, verbose: bool = True,
+    load_fn=None,
 ) -> TrainState:
-    """Initialize the GAN generator from the pretrain phase's EMA weights."""
+    """Initialize the GAN generator from the pretrain phase's EMA weights.
+
+    ``load_fn`` selects the checkpoint backend (default msgpack
+    ``load_checkpoint``; the CLI passes the Orbax loader under
+    ``--ckpt_backend orbax``)."""
     try:
-        ckpt = load_checkpoint(pretrain_ckpt_path)
+        ckpt = (load_fn or load_checkpoint)(pretrain_ckpt_path)
     except Exception:
         if verbose:
             print("Could not load pretrain checkpoint.")
@@ -197,3 +202,15 @@ def warm_start_generator(
     if verbose:
         print(f"loaded pre-trained generator ({matched}/{total} leaves)")
     return state
+
+
+def load_any_checkpoint(path: str | Path) -> Dict[str, Any]:
+    """Backend-agnostic load: an Orbax checkpoint is a DIRECTORY, a msgpack
+    checkpoint is a file — dispatch on which one ``path`` is, so consumers
+    (export, eval) accept either format without a flag."""
+    p = Path(path)
+    if p.is_dir():
+        from .orbax_io import load_checkpoint_orbax
+
+        return load_checkpoint_orbax(p)
+    return load_checkpoint(p)

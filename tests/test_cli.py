@@ -367,6 +367,57 @@ def test_cli_gan_resume(workspace):
     _assert_really_trained(ckpt)
 
 
+def test_cli_orbax_backend_train_resume_export(workspace, tmp_path):
+    """--ckpt_backend orbax end to end on the real CLI: the checkpoint is an
+    Orbax DIRECTORY with the msgpack payload/lifecycle (non-final epoch keeps
+    the optimizer state, resume continues at the right epoch), and export
+    consumes the directory without a flag (load_any_checkpoint dispatch)."""
+    pytest.importorskip("orbax.checkpoint")
+    ws = workspace
+    wd = tmp_path / "orbax_wd"
+    wd.mkdir()
+    train_main([
+        "--resnet", "--scale", "2", "--save_name", "ox",
+        "--train_json", str(ws / "train_images.json"),
+        "--work_dir", str(wd), "--ckpt_backend", "orbax",
+        "--epochs", "2", "--batch_size", "2", "--rs_deep", "1",
+        "--shape", "48", "--worker", "2", "--no_tensorboard",
+    ])
+    ckpt = wd / "res_ox_1_0.2.ckpt"
+    assert ckpt.is_dir()
+
+    from image_super_resolution_tpu.train.orbax_io import load_checkpoint_orbax
+
+    data = load_checkpoint_orbax(ckpt)
+    assert data["meta"]["epoch"] == 1
+    assert data["meta"]["step"] > 0
+    assert "opt_state" not in data  # final epoch drops optimizer state
+
+    # Resume from the directory: epoch 1 was final, so a 3-epoch run must
+    # continue with epoch 2 only (weights-only resume, reference semantics).
+    train_main([
+        "--resnet", "--scale", "2", "--save_name", "ox", "--resume",
+        "--train_json", str(ws / "train_images.json"),
+        "--work_dir", str(wd), "--ckpt_backend", "orbax",
+        "--epochs", "3", "--batch_size", "2", "--rs_deep", "1",
+        "--shape", "48", "--worker", "2", "--no_tensorboard",
+    ])
+    assert load_checkpoint_orbax(ckpt)["meta"]["epoch"] == 2
+
+    export_main([
+        "--checkpoint", str(ckpt),
+        "--out", str(wd / "model.isr"), "--rs_deep", "1", "--scale", "2",
+    ])
+    assert (wd / "model.isr").exists()
+    rs_main([
+        "--model", str(wd / "model.isr"),
+        "--src", str(ws / "imgs" / "img_0.png"),
+        "--save_dir", str(wd / "out.png"),
+        "--window_size", "48", "--overlap", "8", "--batch_size", "2",
+    ])
+    assert (wd / "out.png").exists()
+
+
 def test_cli_demo_out_of_box(tmp_path):
     """One-command demo: bundled reference model.pt -> demo.isr -> restored
     test card with PSNR report, then the --src path on a user image."""

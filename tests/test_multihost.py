@@ -200,6 +200,57 @@ def test_two_process_resume_without_shared_workdir(tmp_path):
     assert np.all(np.isfinite(meta["loss"]))
 
 
+def test_two_process_orbax_backend(tmp_path):
+    """``--ckpt_backend orbax`` inside a real 2-process run. Same scenario as
+    the msgpack resume test (non-final checkpoint visible to host 0 only),
+    but the checkpoint is an Orbax DIRECTORY: proc 0 restores it, broadcasts
+    state, and is the sole writer of the per-epoch overwrite."""
+    import jax
+    import jax.numpy as jnp
+
+    from image_super_resolution_tpu.models import SRGenerator
+    from image_super_resolution_tpu.train import build_optimizer, create_train_state
+    from image_super_resolution_tpu.train.orbax_io import (
+        load_checkpoint_orbax,
+        save_checkpoint_orbax,
+    )
+
+    _make_manifest(tmp_path, 16)
+    w0 = tmp_path / "w0"
+    w1 = tmp_path / "w1"
+    w0.mkdir()
+    w1.mkdir()
+
+    model = SRGenerator(depth=1, add_rate=0.2, scale=2)
+    state = create_train_state(
+        model, (1, 24, 24, 3), build_optimizer(total_steps=4),
+        jax.random.PRNGKey(0), ema_tau=4.0,
+    )
+    state = state.replace(step=jnp.asarray(2, jnp.int32))
+    ckpt = w0 / "res_mh_1_0.2.ckpt"
+    save_checkpoint_orbax(ckpt, state, epoch=0,
+                          mean=[0.485, 0.456, 0.406], std=[0.229, 0.224, 0.225],
+                          loss_history=[0.1], final=False)
+
+    outs = _run_workers(
+        tmp_path, "pixel",
+        extra=["--resume", "--epochs", "2", "--ckpt_backend", "orbax",
+               "--work_dir", str(tmp_path / "w{pid}")],
+    )
+    assert "load from" in outs[0]
+    assert "load from" not in outs[1]
+    for out in outs:  # both hosts adopted proc 0's start_epoch=1
+        assert "Epoch [1]" in out
+        assert "Epoch [0]" not in out
+
+    assert ckpt.is_dir()
+    data = load_checkpoint_orbax(ckpt)
+    assert data["meta"]["epoch"] == 1
+    assert data["meta"]["step"] > 2
+    assert np.all(np.isfinite(data["meta"]["loss"]))
+    assert not (w1 / "res_mh_1_0.2.ckpt").exists()  # single writer
+
+
 def test_three_process_uneven_manifest(tmp_path):
     """Nothing in the multi-host path may assume exactly two hosts: three
     processes (12 global devices) over a 23-image manifest must agree on

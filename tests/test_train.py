@@ -205,10 +205,21 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     )
 
     state = make_state()
+    # GAN saves carry the discriminator through ``extra`` — round-trip the
+    # same keys cli/train.py writes (d_params restored to fp32 like params).
+    extra = {
+        "d_params": {"Dense_0": {"kernel": np.ones((4, 4), np.float16)}},
+        "d_batch_stats": {},
+        "d_step": 7,
+    }
     save_checkpoint_orbax(tmp_path / "ckpt", state, epoch=3, mean=[0.5] * 3,
-                          std=[0.2] * 3, loss_history=[1.0])
+                          std=[0.2] * 3, loss_history=[1.0], extra=extra)
     ckpt = load_checkpoint_orbax(tmp_path / "ckpt")
     assert ckpt["meta"]["epoch"] == 3
+    assert int(ckpt["d_step"]) == 7
+    d_kernel = ckpt["d_params"]["Dense_0"]["kernel"]
+    assert np.asarray(d_kernel).dtype == np.float32
+    np.testing.assert_array_equal(np.asarray(d_kernel), np.ones((4, 4)))
     fresh = make_state()
     resumed, start_epoch = resume_state(fresh, ckpt, verbose=False)
     assert start_epoch == 4
