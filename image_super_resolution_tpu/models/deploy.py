@@ -36,11 +36,26 @@ from .denoiser import Denoiser
 from .generator import SRGenerator
 
 
+def family_defaults(family: str, rs_deep=None, width=None) -> Tuple[int, int]:
+    """Resolve (depth, width) CLI defaults per model family.
+
+    The reference CLI default ``--rs_deep 16`` / width 64 applies to the
+    reference families; the "fast" flagship preset is depth 14 / width 128 —
+    the ~0.54 MFLOP/output-px configuration benched in PERF.md. Explicit
+    flags always win.
+    """
+    if rs_deep is None:
+        rs_deep = 14 if family == "fast" else 16
+    if width is None:
+        width = 128 if family == "fast" else 64
+    return rs_deep, width
+
+
 @dataclass(frozen=True)
 class DeploySpec:
     """Everything needed to rebuild the inference graph."""
 
-    family: str = "sr"  # "sr" | "denoise" | "denoise_legacy"
+    family: str = "sr"  # "sr" | "fast" | "denoise" | "denoise_legacy"
     depth: int = 16
     width: int = 64
     add_rate: float = 0.2
@@ -59,6 +74,16 @@ class DeploySpec:
             return LegacyDenoiser(
                 depth=self.depth, width=self.width, hidden=self.hidden or 32,
                 fused=True, dtype=dtype,
+            )
+        if self.family == "fast":
+            # TPU-first flagship (models/fast.py): BN-free, born-folded tail
+            # — the training graph is already the optimal serving graph, so
+            # DeployedModel skips the optimize rewrite for this family.
+            from .fast import FastSRGenerator
+
+            return FastSRGenerator(
+                depth=self.depth, add_rate=self.add_rate, scale=self.scale,
+                width=self.width, fused=True, dtype=dtype,
             )
         return SRGenerator(
             depth=self.depth,

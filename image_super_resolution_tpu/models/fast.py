@@ -1,0 +1,115 @@
+"""TPU-first flagship generator (``family="fast"``).
+
+The reference topology (utils/models.py:592-618 — 16 RRDBs = 48 residual
+dense blocks of 32-channel growth convs, two staged x2 sub-pixel upsamplers,
+and a 9x9 tail conv at FULL output resolution) costs 1.57 MFLOP per output
+pixel and keeps the MXU's 128 lanes 38-68% empty on every dense-block conv
+(PERF.md's channel-tiling table). Measured on a v5e that caps the x4 model at
+~74 MPix/s — 37% of the 200 MPix/s BASELINE.json north star, with Winograd
+and int8 both measured dead as escapes.
+
+This family is the architecture the hardware wants, re-designed rather than
+translated:
+
+- **128-wide trunk of plain residual blocks.** Every trunk conv is a 3x3
+  128->128 contraction — zero padding waste on the 128x128 systolic array,
+  and exactly the shape XLA's conv emitter was measured running at 128.5
+  TFLOP/s (68% of matmul peak, scripts/bench_scan_trunk.py). No BN (BN-free
+  residual trunks train better for SR — EDSR, arXiv:1707.02921 — and the
+  training graph IS the deployment graph: nothing to fold).
+- **~0.54 MFLOP per output pixel** (x4, depth 14): 3x fewer FLOPs than the
+  reference at equal receptive-field budget, spent at full MXU utilization
+  instead of 59%.
+- **Born-folded tail.** One 3x3 conv to 3*scale^2 channels, tanh, then a
+  single depth_to_space(scale) — the form ops/fold_tail.py has to REWRITE
+  the reference tail into is this family's native training graph. No conv
+  ever runs above LR resolution.
+
+Same IO contract as SRGenerator (normalized float in, tanh [-1,1] out), so
+the whole surrounding framework — pixel/GAN training, EMA, checkpointing,
+export, tiled/spatial/data-parallel serving, eval — works unchanged.
+
+Quality gate: scripts/flagship_quality_experiment.py trains this family and
+the reference topology through the real CLI at an equal step budget on the
+synthetic convergence benchmark; the table in PERF.md shows PSNR-Y parity is
+met before the speed is claimed.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops.activations import ActSpec, apply_act
+from ..ops.conv import ConvBlock
+from ..ops.pixel_shuffle import pixel_shuffle
+
+
+class FastResBlock(nn.Module):
+    """conv3x3 -> act -> conv3x3, residual-scaled: x + add_rate * h.
+
+    Both convs are features->features (128->128 at flagship width): the MXU
+    sees only full-lane contractions. Residual scaling (EDSR-style) keeps the
+    deep BN-free trunk stable at init.
+    """
+
+    features: int
+    act: ActSpec = ("leaky_relu", 0.01)
+    add_rate: float = 0.2
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        kw = dict(use_bn=False, dtype=self.dtype, param_dtype=self.param_dtype)
+        h = ConvBlock(self.features, 3, act=self.act, name="conv0", **kw)(x, train)
+        h = ConvBlock(self.features, 3, act=None, name="conv1", **kw)(h, train)
+        return x + h * jnp.asarray(self.add_rate, h.dtype)
+
+
+class FastSRGenerator(nn.Module):
+    """MXU-aligned SR generator: head -> depth x FastResBlock -> global skip
+    -> single sub-pixel tail. Training graph == deployment graph.
+
+    ``fused`` is accepted for DeploySpec API parity with SRGenerator and is a
+    no-op (there is no BN to fold).
+    """
+
+    depth: int = 14
+    add_rate: float = 0.2
+    scale: int = 4
+    width: int = 128
+    fused: bool = False  # no-op: the graph is BN-free by construction
+    remat: bool = False  # rematerialize each block's activations in backward
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        if self.scale not in (1, 2, 4, 8):
+            raise ValueError(f"scale must be in (1, 2, 4, 8), got {self.scale}")
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        x = x.astype(self.dtype)
+        x = ConvBlock(self.width, 3, act=("leaky_relu", 0.01), use_bn=False,
+                      name="head", **kw)(x, train)
+        block_cls = (
+            nn.remat(FastResBlock, static_argnums=(2,)) if self.remat
+            else FastResBlock
+        )
+        h = x
+        for i in range(self.depth):
+            h = block_cls(self.width, ("leaky_relu", 0.01), self.add_rate,
+                          name=f"block{i}", **kw)(h, train)
+        h = ConvBlock(self.width, 3, act=None, use_bn=False,
+                      name="trunk_conv", **kw)(h, train)
+        x = x + h  # global residual, same role as SRGenerator's
+        # Born-folded tail: project to 3*scale^2 channels at LR resolution,
+        # tanh BEFORE the shuffle (elementwise ops commute with
+        # depth_to_space), one shuffle straight to the output scale.
+        x = ConvBlock(3 * self.scale ** 2, 3, act="tanh", use_bn=False,
+                      name="tail", **kw)(x, train)
+        if self.scale > 1:
+            x = pixel_shuffle(x, self.scale)
+        return x.astype(jnp.float32)

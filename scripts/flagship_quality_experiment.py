@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Quality gate for the TPU-first flagship family (models/fast.py).
+
+The flagship's speed claim (>=200 MPix/s vs the reference topology's ~74)
+only counts if quality holds, so this experiment trains BOTH architectures
+through the real CLI on the synthetic convergence benchmark at an EQUAL step
+budget and identical data/seed, then evaluates PSNR-Y/SSIM with the real
+eval CLI. Gate: fast PSNR-Y >= reference-topology PSNR-Y (VERDICT r3 item 1).
+Results recorded in PERF.md.
+
+Protocol (x4, the headline scale):
+  R. reference topology (ResNet, depth 16, width 64) pixel phase E epochs
+  F. fast flagship     (depth 14, width 128)        pixel phase E epochs
+  eval both on the held-out synthetic val split; also report bicubic.
+
+Usage: python scripts/flagship_quality_experiment.py [--workdir DIR]
+       [--epochs N] [--scale 4]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def make_dataset(root: Path, n_train: int = 240, n_val: int = 8,
+                 size: int = 192, shape: int = 96):
+    """Sharp-edge synthetic images (rectangles, thin lines, gradients) —
+    high-frequency content with real structure for x4 SR to recover. Same
+    generator family as scripts/gan_vs_pixel_experiment.py, sized up for x4
+    (96-px HR patches -> 24-px LR)."""
+    from PIL import Image
+
+    rng = np.random.default_rng(7)
+    for split, n in (("train", n_train), ("val", n_val)):
+        d = root / split
+        d.mkdir(parents=True, exist_ok=True)
+        for i in range(n):
+            img = np.full((size, size, 3), rng.integers(0, 255, 3), np.uint8)
+            for _ in range(16):
+                x0, y0 = rng.integers(0, size - 8, 2)
+                w, h = rng.integers(4, size // 2, 2)
+                img[y0: y0 + h, x0: x0 + w] = rng.integers(0, 255, 3)
+            for _ in range(8):  # thin lines
+                y = int(rng.integers(0, size))
+                img[y: y + 2, :, :] = rng.integers(0, 255, 3)
+            gx = np.linspace(0, rng.integers(30, 90), size, dtype=np.float32)
+            img = np.clip(img.astype(np.float32) + gx[None, :, None], 0, 255)
+            Image.fromarray(img.astype(np.uint8)).save(d / f"img_{i}.png")
+    from image_super_resolution_tpu.cli.create_json import main as cj
+
+    cj(["--train_dirs", str(root / "train"), "--val_dirs", str(root / "val"),
+        "--shape", str(shape), "--output", str(root)])
+
+
+def run(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--workdir", type=str, default="/tmp/flagship_quality")
+    parser.add_argument("--epochs", type=int, default=120,
+                        help="equal pixel-phase budget for both arms "
+                             "(240 imgs / batch 16 = 15 steps per epoch)")
+    parser.add_argument("--scale", type=int, default=4)
+    opt = parser.parse_args(argv)
+
+    from image_super_resolution_tpu.cli.evaluate import main as ev
+    from image_super_resolution_tpu.cli.export import main as ex
+    from image_super_resolution_tpu.cli.train import main as tr
+
+    ws = Path(opt.workdir)
+    if ws.exists():
+        shutil.rmtree(ws)
+    ws.mkdir(parents=True)
+    make_dataset(ws)
+    common = ["--resnet", "--scale", str(opt.scale), "--shape", "96",
+              "--batch_size", "16", "--epochs", str(opt.epochs),
+              "--ckpt_every", "25", "--seed", "100",
+              "--train_json", str(ws / "train_images.json"),
+              "--no_tensorboard", "--worker", "4"]
+
+    arms = {
+        "R_reference_topology": {
+            "train": ["--save_name", "r", *common],
+            "ckpt": "res_r_16_0.2.ckpt",
+            "export": ["--family", "sr"],
+        },
+        "F_fast_flagship": {
+            "train": ["--family", "fast", "--save_name", "f", *common],
+            "ckpt": "res_f_14_0.2.ckpt",
+            "export": ["--family", "fast"],
+        },
+    }
+
+    results = {}
+    for tag, arm in arms.items():
+        wd = ws / tag
+        wd.mkdir()
+        tr(["--work_dir", str(wd), *arm["train"]])
+        art = ws / f"{tag}.isr"
+        ex(["--checkpoint", str(wd / arm["ckpt"]), "--out", str(art),
+            "--scale", str(opt.scale), *arm["export"]])
+        print(f"--- eval {tag} ---")
+        results[tag] = ev(["--model", str(art),
+                           "--val_json", str(ws / "val_images.json"),
+                           "--shape", "192", "--batch_size", "2"])
+
+    r = results["R_reference_topology"]
+    f = results["F_fast_flagship"]
+    results["gate"] = {
+        "psnr_y_delta_fast_minus_ref": round(f["psnr_y"] - r["psnr_y"], 3),
+        "passed": bool(f["psnr_y"] >= r["psnr_y"]),
+    }
+    print(json.dumps(results, indent=2))
+    (ws / "results.json").write_text(json.dumps(results, indent=2))
+    return results
+
+
+if __name__ == "__main__":
+    run()

@@ -418,6 +418,48 @@ def test_cli_orbax_backend_train_resume_export(workspace, tmp_path):
     assert (wd / "out.png").exists()
 
 
+def test_cli_fast_family_train_gan_export_rs(workspace, tmp_path):
+    """--family fast end to end: pixel pretrain -> GAN phase warm start ->
+    export (spec records family+width) -> rs tiled upscale. The fast family
+    reuses every phase of the reference training recipe unchanged."""
+    ws = workspace
+    wd = tmp_path / "fast_wd"
+    wd.mkdir()
+    common = ["--family", "fast", "--width", "8", "--scale", "2",
+              "--save_name", "f", "--train_json", str(ws / "train_images.json"),
+              "--work_dir", str(wd), *COMMON]
+    train_main(["--resnet", *common])
+    _assert_really_trained(wd / "res_f_1_0.2.ckpt")
+    train_main(common)  # GAN phase warm-starts from the res checkpoint
+    _assert_really_trained(wd / "gen_f_1_0.2.ckpt")
+
+    export_main([
+        "--checkpoint", str(wd / "gen_f_1_0.2.ckpt"),
+        "--family", "fast", "--rs_deep", "1", "--width", "8", "--scale", "2",
+        "--out", str(wd / "fast.isr"),
+    ])
+    from image_super_resolution_tpu.models.deploy import load_artifact
+
+    art = load_artifact(wd / "fast.isr")
+    assert art.spec.family == "fast" and art.spec.width == 8
+    rs_main([
+        "--model", str(wd / "fast.isr"),
+        "--src", str(ws / "imgs" / "img_0.png"),
+        "--save_dir", str(wd / "out.png"),
+        "--window_size", "48", "--overlap", "8", "--batch_size", "2",
+    ])
+    assert (wd / "out.png").exists()
+    from PIL import Image
+
+    assert Image.open(wd / "out.png").size == (160, 160)
+
+
+def test_cli_fast_family_rejects_enchant(tmp_path):
+    with pytest.raises(SystemExit, match="enchant"):
+        train_main(["--family", "fast", "--enchant", "--resnet",
+                    "--work_dir", str(tmp_path)])
+
+
 def test_cli_demo_out_of_box(tmp_path):
     """One-command demo: bundled reference model.pt -> demo.isr -> restored
     test card with PSNR report, then the --src path on a user image."""
