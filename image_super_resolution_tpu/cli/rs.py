@@ -49,6 +49,13 @@ def build_parser() -> argparse.ArgumentParser:
                              "tiled image, folder, and video paths; 0 = all "
                              "local devices. Mutually exclusive with "
                              "--spatial_devices")
+    parser.add_argument("--tp_devices", type=int, default=1,
+                        help="tensor parallelism: channel-shard the fast "
+                             "family's trunk over N local devices (0 = all), "
+                             "one psum per residual block — the "
+                             "latency-bound serving axis for single images "
+                             "when the batch is too small for "
+                             "--data_devices. fast family only")
     parser.add_argument("--codec", type=str, default=None,
                         help="ffmpeg video encoder (e.g. libx264, hevc_nvenc, "
                              "hevc_vaapi); default libx264. Replaces the "
@@ -74,12 +81,36 @@ def run(
     spatial_devices: int = 1,
     data_devices: int = 1,
     spatial_grid=None,
+    tp_devices: int = 1,
     codec: str | None = None,
 ) -> Path:
     from ..infer.engine import TiledUpscaler
     from ..models.deploy import load_artifact
 
     deployed = load_artifact(model)
+    if tp_devices == 0 or tp_devices > 1:
+        # Channel-shard the model itself; the engine tiles through the TP
+        # wrapper unchanged. Orthogonal sharding modes stay mutually
+        # exclusive (the engine enforces the other three).
+        if spatial_devices > 1 or data_devices > 1 or spatial_grid:
+            raise SystemExit(
+                "--tp_devices is mutually exclusive with --spatial_devices/"
+                "--spatial_grid/--data_devices: pick ONE sharding axis"
+            )
+        import jax
+
+        from ..core.mesh import make_mesh
+        from ..parallel.tensor import TPFastUpscaler
+
+        local = jax.local_devices()
+        n_tp = tp_devices or len(local)
+        if n_tp > len(local):
+            raise SystemExit(
+                f"--tp_devices {n_tp}: only {len(local)} local devices"
+            )
+        deployed = TPFastUpscaler(
+            deployed, make_mesh(n_data=1, n_tile=n_tp, devices=local)
+        )
     engine = TiledUpscaler(
         deployed,
         window=window_size,
