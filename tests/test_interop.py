@@ -69,9 +69,13 @@ def _torch_forward(net, x_nhwc: np.ndarray) -> np.ndarray:
 
 
 def _sd(net) -> dict:
+    # .copy() matters: .numpy() on an fp32 tensor SHARES its memory, so a
+    # later in-place optimizer step would silently mutate the captured
+    # state dict (the trajectory co-run tests train the torch net after
+    # capturing it).
     return {
-        k: v.detach().float().numpy() if v.dtype.is_floating_point
-        else v.detach().numpy()
+        k: v.detach().float().numpy().copy() if v.dtype.is_floating_point
+        else v.detach().numpy().copy()
         for k, v in net.state_dict().items()
     }
 
@@ -661,3 +665,285 @@ def test_ema_parity_with_reference(ref_models):
         assert k1 == k2
         np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
                                    rtol=1e-5, atol=1e-7)
+
+# --------------------------------------------- N-step trajectory parity ----
+# Per-step parity (above) pins each piece — gradients, one optimizer step,
+# EMA update — in isolation. These co-runs close the remaining daylight: the
+# COMPOSITION of per-batch LinearLR + Adam + global-norm clip + EMA ramp over
+# many steps must track the live reference loop as a curve, not just at one
+# step (VERDICT r3 item 2; reference train.py:41-67 and 70-129).
+
+
+def _torch_pixel_loop(tnet, ref_models, hrs, lrs, n_steps, lr=1e-4, lr2=0.01):
+    """The reference train() loop verbatim (train.py:50-66): Adam + per-batch
+    LinearLR + clip_grad_norm_(10) + ModelEMA, on precomputed (hr, lr)."""
+    from torch.optim.lr_scheduler import LinearLR
+
+    opt = torch.optim.Adam(tnet.parameters(), lr=lr, betas=(0.9, 0.999),
+                           weight_decay=0.0)
+    sched = LinearLR(opt, start_factor=1, end_factor=lr2, total_iters=n_steps)
+    ema = ref_models.ModelEMA(tnet, tau=n_steps)
+    loss_fn = torch.nn.MSELoss()
+    losses = []
+    for k in range(n_steps):
+        t_lr = torch.from_numpy(lrs[k].transpose(0, 3, 1, 2).copy())
+        t_hr = torch.from_numpy(hrs[k].transpose(0, 3, 1, 2).copy())
+        opt.zero_grad()
+        loss = loss_fn(tnet(t_lr), t_hr)
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(tnet.parameters(), 10)
+        opt.step()
+        sched.step()
+        ema.update(tnet)
+        losses.append(float(loss.detach()))
+    return losses, ema
+
+
+@needs_ref
+def test_pixel_training_trajectory_parity(ref_models):
+    """50 co-run pixel steps: identical uint8 batches through OUR jitted
+    step (make_pixel_train_step: on-device degrade + MSE + clip + Adam +
+    LinearLR + EMA) and the reference loop; the loss CURVES and the final
+    live + EMA params must track. Catches cross-step interactions no single
+    step can (schedule indexing off-by-one, EMA-of-updated-params order,
+    moment accumulation drift)."""
+    from image_super_resolution_tpu.data.pipeline import DegradeConfig, make_sr_batch_fn
+    from image_super_resolution_tpu.interop import (
+        export_generator_state,
+        import_generator_state,
+    )
+    from image_super_resolution_tpu.models import SRGenerator
+    from image_super_resolution_tpu.train import build_optimizer, create_train_state
+    from image_super_resolution_tpu.train.steps import make_pixel_train_step
+
+    n_steps, batch, hr_px = 50, 4, 24
+    mean = (0.485, 0.456, 0.406)
+    std = (0.229, 0.224, 0.225)
+
+    torch.manual_seed(3)
+    tnet = ref_models.EResNet(1, 0.2, 2).train()
+    params, _, _ = import_generator_state(_sd(tnet))
+
+    rng = np.random.default_rng(41)
+    batches_u8 = rng.integers(0, 256, (n_steps, batch, hr_px, hr_px, 3),
+                              dtype=np.uint8)
+
+    # One batch_fn produces the (hr, lr) pairs for BOTH frameworks — the
+    # degradation itself is pinned to cv2 elsewhere (test_eval); here the
+    # subject is the optimization trajectory.
+    batch_fn = jax.jit(make_sr_batch_fn(2, "tanh", mean, std, DegradeConfig()))
+    pairs = [jax.device_get(batch_fn(jnp.asarray(b))) for b in batches_u8]
+    hrs = [p[0] for p in pairs]
+    lrs = [p[1] for p in pairs]
+
+    t_losses, t_ema = _torch_pixel_loop(tnet, ref_models, hrs, lrs, n_steps)
+
+    model = SRGenerator(depth=1, add_rate=0.2, scale=2, enchant=True,
+                        dtype=jnp.float32)
+    state = create_train_state(model, (1, hr_px // 2, hr_px // 2, 3),
+                               build_optimizer(total_steps=n_steps),
+                               jax.random.PRNGKey(0), ema_tau=float(n_steps))
+    state = state.replace(params=jax.tree_util.tree_map(jnp.asarray, params))
+    # EMA starts from the loaded weights, like ModelEMA's deepcopy(model)
+    state = state.replace(ema=state.ema.replace(
+        params=jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.float32), state.params)))
+    step = make_pixel_train_step(2, "tanh", "mse", mean, std)
+
+    j_losses = []
+    for b in batches_u8:
+        state, metrics = step(state, jnp.asarray(b))
+        j_losses.append(float(metrics["loss"]))
+
+    # Loss curves: the first step must match to fp-forward precision; the
+    # whole 50-step curve must track within 0.5%. (Per-step torch-vs-XLA
+    # conv-backward differences are ~0.2% relative — the single-step parity
+    # tests above bound them — so tighter curve tolerances would re-test
+    # float reassociation, not the optimization semantics under test here.)
+    np.testing.assert_allclose(j_losses[0], t_losses[0], rtol=1e-4)
+    np.testing.assert_allclose(j_losses, t_losses, rtol=5e-3, atol=1e-7)
+    # The curve must actually descend (this is a real optimization, not noise)
+    assert np.mean(j_losses[-5:]) < np.mean(j_losses[:5])
+
+    # Final live params and EMA params track through the export mapping.
+    # Per-element comparison is the wrong metric after 50 Adam steps: Adam
+    # normalizes each element by sqrt(v), so a ~0.2%/step gradient-algorithm
+    # difference shows up as O(1) RELATIVE drift on near-zero elements while
+    # the trajectory is identical to the eye. The honest contract is
+    # norm-level: Frobenius drift under 1% per tensor (a schedule off-by-one,
+    # wrong eps, or missed clip diverges 10-100x that).
+    for got_tree, want_net, tag in (
+        (state.params, tnet, "live"),
+        (state.ema.params, t_ema.ema, "ema"),
+    ):
+        sd = export_generator_state(jax.device_get(got_tree), {})
+        want = _sd(want_net)
+        compared = 0
+        for k, tv in want.items():
+            if k not in sd:  # num_batches_tracked etc.
+                continue
+            rel = np.linalg.norm(sd[k] - tv) / (np.linalg.norm(tv) + 1e-12)
+            assert rel < 1e-2, (
+                f"{tag} param drift at {k} after {n_steps} steps: "
+                f"relative Frobenius {rel:.4f}"
+            )
+            compared += 1
+        assert compared > 10
+
+
+@needs_ref
+def test_gan_training_trajectory_parity(ref_models):
+    """20 co-run SRGAN steps (G and D, shared random VGG): the content /
+    adversarial / discriminator loss curves and the final G AND D params
+    must track the reference train_srgan loop (train.py:91-127) through
+    OUR single-program jitted GAN step."""
+    from image_super_resolution_tpu.data.pipeline import DegradeConfig, make_sr_batch_fn
+    from image_super_resolution_tpu.interop import (
+        export_discriminator_state,
+        export_generator_state,
+        import_discriminator_state,
+        import_generator_state,
+    )
+    from image_super_resolution_tpu.losses.perceptual import PerceptualLoss
+    from image_super_resolution_tpu.models import Discriminator, SRGenerator
+    from image_super_resolution_tpu.models.vgg import TruncatedVGG19
+    from image_super_resolution_tpu.train import build_optimizer, create_train_state
+    from image_super_resolution_tpu.train.steps import make_gan_train_step
+
+    n_steps, batch, hr_px = 20, 2, 24
+    mean = (0.485, 0.456, 0.406)
+    std = (0.229, 0.224, 0.225)
+
+    torch.manual_seed(5)
+    t_gen = ref_models.EResNet(1, 0.2, 2).train()
+    t_disc = ref_models.Discriminator(3, 8, 4, 16).train()
+    g_params, _, _ = import_generator_state(_sd(t_gen))
+    d_params, d_stats = import_discriminator_state(_sd(t_disc))
+
+    # shared random VGG weights across frameworks (as in the G-step test)
+    vgg = TruncatedVGG19(i=2, j=1, before_act=True, dtype=jnp.float32)
+    vgg_params = vgg.init(jax.random.PRNGKey(0), jnp.zeros((1, 24, 24, 3)))["params"]
+    t_vgg = torch.nn.Sequential(
+        torch.nn.Conv2d(3, 64, 3, padding=1), torch.nn.ReLU(),
+        torch.nn.Conv2d(64, 64, 3, padding=1), torch.nn.ReLU(),
+        torch.nn.MaxPool2d(2),
+        torch.nn.Conv2d(64, 128, 3, padding=1),
+    )
+    with torch.no_grad():
+        for conv_name, t_layer in (("conv0", t_vgg[0]), ("conv1", t_vgg[2]),
+                                   ("conv2", t_vgg[5])):
+            k = np.asarray(vgg_params[conv_name]["kernel"])
+            t_layer.weight.copy_(torch.from_numpy(k.transpose(3, 2, 0, 1).copy()))
+            t_layer.bias.copy_(
+                torch.from_numpy(np.asarray(vgg_params[conv_name]["bias"])))
+
+    rng = np.random.default_rng(43)
+    batches_u8 = rng.integers(0, 256, (n_steps, batch, hr_px, hr_px, 3),
+                              dtype=np.uint8)
+    batch_fn = jax.jit(make_sr_batch_fn(2, "norm", mean, std, DegradeConfig()))
+    pairs = [jax.device_get(batch_fn(jnp.asarray(b))) for b in batches_u8]
+
+    # ---- torch loop: train_srgan verbatim (train.py:91-127) ---------------
+    from torch.optim.lr_scheduler import LinearLR
+
+    opt_g = torch.optim.Adam(t_gen.parameters(), lr=1e-4, betas=(0.9, 0.999))
+    opt_d = torch.optim.Adam(t_disc.parameters(), lr=1e-4, betas=(0.9, 0.999))
+    sch_g = LinearLR(opt_g, start_factor=1, end_factor=0.01, total_iters=n_steps)
+    sch_d = LinearLR(opt_d, start_factor=1, end_factor=0.01, total_iters=n_steps)
+    t_ema = ref_models.ModelEMA(t_gen, tau=n_steps)
+    bce = torch.nn.BCEWithLogitsLoss()
+    t_mean = torch.tensor(mean).view(1, 3, 1, 1)
+    t_std = torch.tensor(std).view(1, 3, 1, 1)
+    t_curves = {"content": [], "adv": [], "dis": []}
+    for k in range(n_steps):
+        hr_norm, lr_img = pairs[k]
+        t_lr = torch.from_numpy(lr_img.transpose(0, 3, 1, 2).copy())
+        t_hr = torch.from_numpy(hr_norm.transpose(0, 3, 1, 2).copy())
+        sr = t_gen(t_lr)
+        sr = ((sr + 1.0) / 2.0 - t_mean) / t_std
+        logits = t_disc(sr)
+        content = torch.nn.L1Loss()(t_vgg(sr), t_vgg(t_hr).detach())
+        adv = bce(logits, torch.ones_like(logits))
+        perceptual = content + 1e-3 * adv
+        opt_g.zero_grad()
+        perceptual.backward()
+        torch.nn.utils.clip_grad_norm_(t_gen.parameters(), 10)
+        opt_g.step()
+        sch_g.step()
+        t_ema.update(t_gen)
+        sr_logits = t_disc(sr.detach())
+        hr_logits = t_disc(t_hr)
+        d_loss = bce(sr_logits, torch.zeros_like(sr_logits)) + bce(
+            hr_logits, torch.ones_like(hr_logits))
+        opt_d.zero_grad()
+        d_loss.backward()
+        torch.nn.utils.clip_grad_norm_(t_disc.parameters(), 10)
+        opt_d.step()
+        sch_d.step()
+        t_curves["content"].append(float(content.detach()))
+        t_curves["adv"].append(float(adv.detach()))
+        t_curves["dis"].append(float(d_loss.detach()))
+
+    # ---- JAX loop: our jitted GAN step -------------------------------------
+    g_model = SRGenerator(depth=1, add_rate=0.2, scale=2, enchant=True,
+                          dtype=jnp.float32)
+    d_model = Discriminator(3, 8, 4, 16, dtype=jnp.float32)
+    g_state = create_train_state(g_model, (1, hr_px // 2, hr_px // 2, 3),
+                                 build_optimizer(total_steps=n_steps),
+                                 jax.random.PRNGKey(1), ema_tau=float(n_steps))
+    g_state = g_state.replace(
+        params=jax.tree_util.tree_map(jnp.asarray, g_params))
+    g_state = g_state.replace(ema=g_state.ema.replace(
+        params=jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.float32), g_state.params)))
+    d_state = create_train_state(d_model, (1, hr_px, hr_px, 3),
+                                 build_optimizer(total_steps=n_steps),
+                                 jax.random.PRNGKey(2), with_ema=False)
+    d_state = d_state.replace(
+        params=jax.tree_util.tree_map(jnp.asarray, d_params),
+        batch_stats=jax.tree_util.tree_map(jnp.asarray, d_stats))
+    ploss = PerceptualLoss(vgg_params, vgg_i=2, vgg_j=1, before_act=True,
+                           dtype=jnp.float32)
+    step = make_gan_train_step(2, ploss, mean, std)
+
+    j_curves = {"content": [], "adv": [], "dis": []}
+    for b in batches_u8:
+        g_state, d_state, m = step(g_state, d_state, jnp.asarray(b))
+        j_curves["content"].append(float(m["loss/content"]))
+        j_curves["adv"].append(float(m["loss/adv"]))
+        j_curves["dis"].append(float(m["loss/dis"]))
+
+    # First step to fp-forward precision; full curves within 2% (torch-vs-XLA
+    # conv fp differences compound per step through TWO Adam optimizers and a
+    # BN discriminator; the single-step tests above pin the semantics, this
+    # asserts the composition tracks as a curve).
+    for key in ("content", "adv", "dis"):
+        np.testing.assert_allclose(
+            j_curves[key][0], t_curves[key][0], rtol=5e-4,
+            err_msg=f"GAN {key} loss differs at step 0 — semantic mismatch")
+        np.testing.assert_allclose(
+            j_curves[key], t_curves[key], rtol=2e-2, atol=1e-5,
+            err_msg=f"GAN {key} loss curve diverged over {n_steps} steps")
+
+    # Norm-level param tracking (see the pixel test for why not per-element).
+    for got_tree, want_sd, export, tag in (
+        (g_state.params, _sd(t_gen), export_generator_state, "G"),
+        (g_state.ema.params, _sd(t_ema.ema), export_generator_state, "G-ema"),
+        (d_state.params, _sd(t_disc), export_discriminator_state, "D"),
+    ):
+        sd = export(jax.device_get(got_tree), {})
+        compared = 0
+        for k, tv in want_sd.items():
+            # BN running stats are excluded: the G-step documented deviation
+            # (train/steps.py — D's stat updates from the G forward are not
+            # kept) makes them differ by design, and train-mode BN never
+            # reads them, so the TRAJECTORY is unaffected.
+            if k not in sd or "running_" in k or "num_batches" in k:
+                continue
+            rel = np.linalg.norm(sd[k] - tv) / (np.linalg.norm(tv) + 1e-12)
+            assert rel < 2e-2, (
+                f"{tag} param drift at {k} after {n_steps} GAN steps: "
+                f"relative Frobenius {rel:.4f}"
+            )
+            compared += 1
+        assert compared > 8
