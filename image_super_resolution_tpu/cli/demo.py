@@ -103,8 +103,11 @@ def degrade_like_training(clean: np.ndarray, seed: int = 1,
 
 
 def _psnr(a: np.ndarray, b: np.ndarray) -> float:
-    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
-    return float(10 * np.log10(255.0 ** 2 / mse)) if mse else float("inf")
+    """utils.metrics.psnr on uint8 arrays (one definition of the metric —
+    the same one the eval CLI reports)."""
+    from ..utils.metrics import psnr
+
+    return float(psnr(a, b, max_val=255.0))
 
 
 def main(argv=None) -> Path:

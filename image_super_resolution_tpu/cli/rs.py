@@ -87,16 +87,20 @@ def run(
     from ..infer.engine import TiledUpscaler
     from ..models.deploy import load_artifact
 
+    use_tp = tp_devices == 0 or tp_devices > 1
+    # Orthogonal sharding modes stay mutually exclusive (the engine enforces
+    # the other three). != 1, not > 1: 0 is the documented "all local
+    # devices" sentinel for both axes and must conflict too. Checked before
+    # the artifact load so bad flag combinations fail fast.
+    if use_tp and (spatial_devices != 1 or data_devices != 1 or spatial_grid):
+        raise SystemExit(
+            "--tp_devices is mutually exclusive with --spatial_devices/"
+            "--spatial_grid/--data_devices: pick ONE sharding axis"
+        )
     deployed = load_artifact(model)
-    if tp_devices == 0 or tp_devices > 1:
+    if use_tp:
         # Channel-shard the model itself; the engine tiles through the TP
-        # wrapper unchanged. Orthogonal sharding modes stay mutually
-        # exclusive (the engine enforces the other three).
-        if spatial_devices > 1 or data_devices > 1 or spatial_grid:
-            raise SystemExit(
-                "--tp_devices is mutually exclusive with --spatial_devices/"
-                "--spatial_grid/--data_devices: pick ONE sharding axis"
-            )
+        # wrapper unchanged.
         import jax
 
         from ..core.mesh import make_mesh
@@ -336,8 +340,14 @@ def _run_video(engine, deployed, src: Path, out: Path, batch_size: int,
                 break
         producer.join(timeout=30)
         # always release the ffmpeg child + capture, even on failure —
-        # library/repeated use would otherwise leak both
-        recorder.stop_recorder()
+        # library/repeated use would otherwise leak both. stop_recorder can
+        # itself raise on a dead ffmpeg pipe (its stdin.close flushes into
+        # the broken pipe); that must neither mask the original exception
+        # nor skip releasing the capture.
+        try:
+            recorder.stop_recorder()
+        except Exception:
+            pass
         source.close()
     recorder.add_audio(src)
     print(f"wrote {n} frames -> {out}")

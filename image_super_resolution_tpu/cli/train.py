@@ -110,7 +110,7 @@ def run_training(opt) -> None:
         build_optimizer,
         checkpoint_name,
         create_train_state,
-        load_checkpoint,
+        load_any_checkpoint,
         make_denoise_train_step,
         make_eval_step,
         make_gan_train_step,
@@ -129,20 +129,28 @@ def run_training(opt) -> None:
             "--enchant is a reference-topology variant (EResNet); the fast "
             "family is BN-free by construction — drop one of the flags"
         )
+    if opt.family == "fast" and opt.train_denoise:
+        raise SystemExit(
+            "--family fast is a GENERATOR family; the denoiser has no fast "
+            "variant (its depth default would silently change) — drop "
+            "--family for the denoise phase"
+        )
 
     work_dir = Path(opt.work_dir)
     work_dir.mkdir(parents=True, exist_ok=True)
     phase = "denoise" if opt.train_denoise else ("pixel" if opt.resnet else "gan")
     ckpt_path = work_dir / checkpoint_name(phase, opt.save_name, opt.rs_deep, opt.add_rate)
     res_ckpt_path = work_dir / checkpoint_name("pixel", opt.save_name, opt.rs_deep, opt.add_rate)
+    # --ckpt_backend picks the SAVE format (msgpack file vs Orbax directory,
+    # same payload/lifecycle). Loads always dispatch on what is actually on
+    # disk (load_any_checkpoint): a resume or GAN warm start must work when
+    # the earlier phase was written by the OTHER backend — pinning the loader
+    # to the save backend silently skipped the warm start in that case.
+    load_ckpt = load_any_checkpoint
     if opt.ckpt_backend == "orbax":
-        # Same name + lifecycle, but the checkpoint is a DIRECTORY; both
-        # backends load into the common dict layout, so resume/warm-start
-        # logic below is backend-agnostic via these two bindings.
-        from ..train.orbax_io import (load_checkpoint_orbax as load_ckpt,
-                                      save_checkpoint_orbax as save_ckpt)
+        from ..train.orbax_io import save_checkpoint_orbax as save_ckpt
     else:
-        load_ckpt, save_ckpt = load_checkpoint, save_checkpoint
+        save_ckpt = save_checkpoint
     logger = MetricsLogger(work_dir, opt.save_name,
                            use_tensorboard=not opt.no_tensorboard,
                            enabled=jax.process_index() == 0)

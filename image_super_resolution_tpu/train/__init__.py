@@ -1,5 +1,6 @@
 from .checkpoint import (
     checkpoint_name,
+    load_any_checkpoint,
     load_checkpoint,
     resume_state,
     save_checkpoint,
@@ -23,6 +24,7 @@ from .steps import (
 
 __all__ = [
     "checkpoint_name",
+    "load_any_checkpoint",
     "load_checkpoint",
     "resume_state",
     "save_checkpoint",

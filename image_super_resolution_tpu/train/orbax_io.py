@@ -95,7 +95,25 @@ def save_checkpoint_orbax(
     path = Path(directory).absolute()
     payload = _payload_from_state(state, epoch, mean, std, loss_history,
                                   final, extra)
-    _local_checkpointer().save(path, payload, force=True)
+    # Crash-safe overwrite. Orbax's own ``save(force=True)`` rmtree's the
+    # existing checkpoint BEFORE serializing the new one (verified in orbax
+    # 0.11.32), so a crash mid-save would destroy the phase's ONLY
+    # checkpoint — the exact guarantee the msgpack backend's tmp+os.replace
+    # provides. Write to a sibling tmp dir, then swap with two renames: at
+    # every instant either the old or the new checkpoint exists on disk.
+    import shutil
+
+    tmp = path.with_name(path.name + ".tmp")
+    old = path.with_name(path.name + ".old")
+    for stale in (tmp, old):  # leftovers from a previous crash
+        if stale.exists():
+            shutil.rmtree(stale)
+    _local_checkpointer().save(tmp, payload, force=True)
+    if path.exists():
+        path.rename(old)
+    tmp.rename(path)
+    if old.exists():
+        shutil.rmtree(old)
 
 
 def load_checkpoint_orbax(directory: str | Path) -> Dict[str, Any]:
@@ -103,7 +121,14 @@ def load_checkpoint_orbax(directory: str | Path) -> Dict[str, Any]:
     (consumable by train/checkpoint.resume_state)."""
     from .checkpoint import _to_fp32
 
-    raw = _local_checkpointer().restore(Path(directory).absolute())
+    path = Path(directory).absolute()
+    if not path.exists():
+        # A crash between the save's two renames leaves the previous
+        # checkpoint at .old — recover it rather than failing the resume.
+        old = path.with_name(path.name + ".old")
+        if old.exists():
+            old.rename(path)
+    raw = _local_checkpointer().restore(path)
     for key in ("params", "batch_stats", "ema_params", "ema_batch_stats",
                 "d_params", "d_batch_stats"):
         if key in raw and raw[key] is not None:

@@ -460,6 +460,45 @@ def test_cli_fast_family_rejects_enchant(tmp_path):
                     "--work_dir", str(tmp_path)])
 
 
+def test_cli_fast_family_rejects_denoise(tmp_path):
+    """--family fast must not silently change the denoiser depth preset."""
+    with pytest.raises(SystemExit, match="denoise"):
+        train_main(["--family", "fast", "--train_denoise",
+                    "--work_dir", str(tmp_path)])
+
+
+def test_cli_gan_warm_start_across_backends(workspace, tmp_path, capsys):
+    """The GAN phase must warm-start from a pixel checkpoint written by the
+    OTHER backend: loads dispatch on what is on disk (load_any_checkpoint),
+    not on --ckpt_backend (which picks the SAVE format only). A loader
+    pinned to the save backend silently skipped the warm start and trained
+    the GAN from random init."""
+    pytest.importorskip("orbax.checkpoint")
+    ws = workspace
+    wd = tmp_path / "xb_wd"
+    wd.mkdir()
+    common = ["--scale", "2", "--save_name", "xb",
+              "--train_json", str(ws / "train_images.json"),
+              "--work_dir", str(wd), *COMMON]
+    train_main(["--resnet", *common])  # msgpack pixel checkpoint (a FILE)
+    assert (wd / "res_xb_1_0.2.ckpt").is_file()
+    capsys.readouterr()
+    train_main([*common, "--ckpt_backend", "orbax"])  # GAN, orbax saves
+    out = capsys.readouterr().out
+    assert "loaded pre-trained generator" in out  # warm start actually ran
+    assert (wd / "gen_xb_1_0.2.ckpt").is_dir()  # saved in the NEW backend
+
+
+def test_cli_tp_rejects_data_devices_sentinel(tmp_path):
+    """--data_devices 0 means ALL local devices and must conflict with
+    --tp_devices like any explicit count."""
+    from image_super_resolution_tpu.cli.rs import run as rs_run
+
+    with pytest.raises(SystemExit, match="mutually exclusive"):
+        rs_run(model="whatever.isr", src="x.png", save_dir=str(tmp_path),
+               tp_devices=2, data_devices=0)
+
+
 def test_cli_demo_out_of_box(tmp_path):
     """One-command demo: bundled reference model.pt -> demo.isr -> restored
     test card with PSNR report, then the --src path on a user image."""

@@ -228,6 +228,34 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
 
 
+def test_orbax_overwrite_is_crash_safe(tmp_path):
+    """Per-epoch overwrite semantics without the orbax force=True hazard
+    (which rmtree's the ONLY checkpoint before writing the new one): the
+    save goes to a sibling tmp dir and swaps in with renames, leaving no
+    .tmp/.old debris; and a crash between the two renames (old checkpoint
+    parked at .old, target missing) is recovered by the loader."""
+    pytest.importorskip("orbax.checkpoint")
+    from image_super_resolution_tpu.train.orbax_io import (
+        load_checkpoint_orbax,
+        save_checkpoint_orbax,
+    )
+
+    state = make_state()
+    ckpt = tmp_path / "ckpt"
+    save_checkpoint_orbax(ckpt, state, epoch=0, mean=[0.5] * 3,
+                          std=[0.2] * 3, loss_history=[1.0])
+    save_checkpoint_orbax(ckpt, state, epoch=1, mean=[0.5] * 3,
+                          std=[0.2] * 3, loss_history=[1.0, 0.5])
+    assert load_checkpoint_orbax(ckpt)["meta"]["epoch"] == 1
+    assert not (tmp_path / "ckpt.tmp").exists()
+    assert not (tmp_path / "ckpt.old").exists()
+
+    # simulate a crash between the two renames
+    ckpt.rename(tmp_path / "ckpt.old")
+    assert load_checkpoint_orbax(ckpt)["meta"]["epoch"] == 1
+    assert ckpt.exists() and not (tmp_path / "ckpt.old").exists()
+
+
 def test_tensor_parallel_conv_matches_single_device():
     from image_super_resolution_tpu.core.mesh import make_mesh
     from image_super_resolution_tpu.parallel.tensor import tp_conv
