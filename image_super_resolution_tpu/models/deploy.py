@@ -137,6 +137,20 @@ class DeployedModel:
         else:
             self.params = fused_params
             self._model = spec.build_model(dtype)
+        # Commit params to device once (numpy args would re-transfer every
+        # call), pre-cast to the compute dtype for the non-optimized
+        # families: measured +2% on the fast flagship (no per-call
+        # round-to-bf16 of the params). The OPTIMIZED sr graph keeps fp32
+        # inputs: its bf16-input variant measured 8% SLOWER (XLA loses the
+        # convert fusion it was using to re-layout the scatter kernels and
+        # inserts per-call copies instead — PERF.md, round-4 gap probes).
+        commit_dtype = None if self.optimized else dtype
+        self.params = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x, commit_dtype)
+            if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else
+            jnp.asarray(x),
+            self.params,
+        )
         mean = tuple(float(v) for v in spec.mean)
         std = tuple(float(v) for v in spec.std)
 
