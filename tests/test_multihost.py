@@ -251,6 +251,27 @@ def test_two_process_orbax_backend(tmp_path):
     assert not (w1 / "res_mh_1_0.2.ckpt").exists()  # single writer
 
 
+def test_two_process_fast_family(tmp_path):
+    """--family fast across real process boundaries: the flagship's
+    sharding-agnostic step must run the same collective program on both
+    hosts (same machinery as sr, but the param tree / step graph differ —
+    this pins that nothing in the multi-host path is sr-specific)."""
+    _make_manifest(tmp_path, 16)
+    outs = _run_workers(
+        tmp_path, "pixel", extra=["--family", "fast", "--width", "8"],
+    )
+    for pid, out in enumerate(outs):
+        assert f"WORKER {pid} PHASE pixel DONE" in out
+
+    from image_super_resolution_tpu.train import load_checkpoint
+
+    ckpt = tmp_path / "res_mh_1_0.2.ckpt"
+    assert ckpt.exists()
+    meta = load_checkpoint(ckpt)["meta"]
+    assert meta["step"] > 0
+    assert np.all(np.isfinite(meta["loss"]))
+
+
 def test_three_process_uneven_manifest(tmp_path):
     """Nothing in the multi-host path may assume exactly two hosts: three
     processes (12 global devices) over a 23-image manifest must agree on
