@@ -64,18 +64,26 @@ def main(argv=None) -> None:
         build_deployed,
         export_stablehlo,
         family_defaults,
+        infer_family_dims,
         load_artifact,
         save_artifact,
     )
     from ..train.checkpoint import load_any_checkpoint
 
-    opt.rs_deep, opt.width = family_defaults(opt.family, opt.rs_deep, opt.width)
     if opt.torch_state_dict and opt.family == "fast":
         raise SystemExit(
             "--torch_state_dict: the fast family is TPU-native only — it has "
             "no reference PyTorch class to load into (use --family sr)"
         )
     ckpt = load_any_checkpoint(opt.checkpoint)
+    # Absent flags resolve from the checkpoint itself (the tree states its
+    # depth/width), falling back to the family presets; explicit flags win.
+    inf_depth, inf_width = infer_family_dims(ckpt.get("params", {}), opt.family)
+    opt.rs_deep, opt.width = family_defaults(
+        opt.family,
+        opt.rs_deep if opt.rs_deep is not None else inf_depth,
+        opt.width if opt.width is not None else inf_width,
+    )
     if ckpt["meta"].get("loss"):
         print("mean loss:", float(np.mean(ckpt["meta"]["loss"])))
     spec = DeploySpec(

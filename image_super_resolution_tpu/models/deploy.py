@@ -51,6 +51,25 @@ def family_defaults(family: str, rs_deep=None, width=None) -> Tuple[int, int]:
     return rs_deep, width
 
 
+def infer_family_dims(params, family: str):
+    """(depth, width) read from a checkpoint's param TREE, or (None, None).
+
+    Exporting a non-default checkpoint without repeating --rs_deep/--width
+    used to build a mismatched spec that failed deep inside the param
+    restructure; the tree itself states both dims (trunk block count + head
+    conv output channels), so the export CLI infers them when the flags are
+    absent. Explicit flags always win."""
+    prefixes = {"sr": "rrdb", "fast": "block",
+                "denoise": "res0_", "denoise_legacy": "res0_"}
+    try:
+        depth = sum(1 for k in params
+                    if str(k).startswith(prefixes[family]))
+        width = int(params["head"]["conv"]["kernel"].shape[-1])
+    except Exception:
+        return None, None
+    return (depth, width) if depth > 0 and width > 0 else (None, None)
+
+
 @dataclass(frozen=True)
 class DeploySpec:
     """Everything needed to rebuild the inference graph."""

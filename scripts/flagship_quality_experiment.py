@@ -66,6 +66,12 @@ def run(argv=None):
     parser.add_argument("--epochs", type=int, default=120,
                         help="equal pixel-phase budget for both arms "
                              "(240 imgs / batch 16 = 15 steps per epoch)")
+    parser.add_argument("--gan_epochs", type=int, default=0,
+                        help="optionally follow each arm's pixel phase with "
+                             "an equal-budget GAN fine-tune (random-VGG "
+                             "perceptual loss, same caveat as PERF.md's "
+                             "gan-vs-pixel experiment) and eval THAT "
+                             "checkpoint instead")
     parser.add_argument("--scale", type=int, default=4)
     opt = parser.parse_args(argv)
 
@@ -88,11 +94,13 @@ def run(argv=None):
         "R_reference_topology": {
             "train": ["--save_name", "r", *common],
             "ckpt": "res_r_16_0.2.ckpt",
+            "gan_ckpt": "gen_r_16_0.2.ckpt",
             "export": ["--family", "sr"],
         },
         "F_fast_flagship": {
             "train": ["--family", "fast", "--save_name", "f", *common],
             "ckpt": "res_f_14_0.2.ckpt",
+            "gan_ckpt": "gen_f_14_0.2.ckpt",
             "export": ["--family", "fast"],
         },
     }
@@ -102,8 +110,15 @@ def run(argv=None):
         wd = ws / tag
         wd.mkdir()
         tr(["--work_dir", str(wd), *arm["train"]])
+        ckpt = arm["ckpt"]
+        if opt.gan_epochs:
+            # same flags minus --resnet, same warm-start path the CLI uses
+            gan_flags = [a for a in arm["train"] if a != "--resnet"]
+            gan_flags[gan_flags.index("--epochs") + 1] = str(opt.gan_epochs)
+            tr(["--work_dir", str(wd), *gan_flags])
+            ckpt = arm["gan_ckpt"]
         art = ws / f"{tag}.isr"
-        ex(["--checkpoint", str(wd / arm["ckpt"]), "--out", str(art),
+        ex(["--checkpoint", str(wd / ckpt), "--out", str(art),
             "--scale", str(opt.scale), *arm["export"]])
         print(f"--- eval {tag} ---")
         results[tag] = ev(["--model", str(art),

@@ -433,15 +433,18 @@ def test_cli_fast_family_train_gan_export_rs(workspace, tmp_path):
     train_main(common)  # GAN phase warm-starts from the res checkpoint
     _assert_really_trained(wd / "gen_f_1_0.2.ckpt")
 
+    # no --rs_deep/--width: export must infer depth 1 / width 8 from the
+    # checkpoint's param tree instead of using the family preset (14/128)
     export_main([
         "--checkpoint", str(wd / "gen_f_1_0.2.ckpt"),
-        "--family", "fast", "--rs_deep", "1", "--width", "8", "--scale", "2",
+        "--family", "fast", "--scale", "2",
         "--out", str(wd / "fast.isr"),
     ])
     from image_super_resolution_tpu.models.deploy import load_artifact
 
     art = load_artifact(wd / "fast.isr")
     assert art.spec.family == "fast" and art.spec.width == 8
+    assert art.spec.depth == 1
     rs_main([
         "--model", str(wd / "fast.isr"),
         "--src", str(ws / "imgs" / "img_0.png"),

@@ -61,6 +61,23 @@ def test_family_defaults():
     assert family_defaults("denoise") == (16, 64)
 
 
+def test_infer_family_dims():
+    """Export-CLI dim inference: depth/width read from the param tree for
+    every family prefix; garbage trees answer (None, None)."""
+    from image_super_resolution_tpu.models.deploy import infer_family_dims
+
+    m = FastSRGenerator(depth=3, width=16, scale=2)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))
+    assert infer_family_dims(v["params"], "fast") == (3, 16)
+
+    s = SRGenerator(depth=2, add_rate=0.2, scale=2, enchant=True)
+    vs = s.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))
+    assert infer_family_dims(vs["params"], "sr") == (2, 64)
+
+    assert infer_family_dims({}, "fast") == (None, None)
+    assert infer_family_dims({"head": {}}, "sr") == (None, None)
+
+
 def test_tanh_commutes_with_shuffle():
     """The born-folded tail relies on tanh-before-shuffle == shuffle-after:
     check the deployed graph against an explicit post-shuffle tanh."""
