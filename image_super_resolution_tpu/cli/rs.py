@@ -342,13 +342,21 @@ def _run_video(engine, deployed, src: Path, out: Path, batch_size: int,
         # always release the ffmpeg child + capture, even on failure —
         # library/repeated use would otherwise leak both. stop_recorder can
         # itself raise on a dead ffmpeg pipe (its stdin.close flushes into
-        # the broken pipe); that must neither mask the original exception
-        # nor skip releasing the capture.
+        # the broken pipe; the child is still reaped — recorder.py). That
+        # must not mask an in-flight exception or skip releasing the
+        # capture, but on the SUCCESS path it must PROPAGATE: a dead
+        # encoder means the written file is truncated, and returning
+        # success for a corrupt video is worse than the traceback.
+        import sys as _sys
+
+        stop_err = None
         try:
             recorder.stop_recorder()
-        except Exception:
-            pass
+        except Exception as e:
+            stop_err = e
         source.close()
+        if stop_err is not None and _sys.exc_info()[0] is None:
+            raise stop_err
     recorder.add_audio(src)
     print(f"wrote {n} frames -> {out}")
     return out

@@ -109,6 +109,7 @@ def run_training(opt) -> None:
     from ..train import (
         build_optimizer,
         checkpoint_name,
+        checkpoint_exists,
         create_train_state,
         load_any_checkpoint,
         make_denoise_train_step,
@@ -269,7 +270,7 @@ def run_training(opt) -> None:
 
     start_epoch = 0
     if phase == "gan":
-        if opt.resume and ckpt_path.exists():  # orbax ckpts are directories
+        if opt.resume and checkpoint_exists(ckpt_path):  # file, dir, or crash .old
             print(f"Train: load state dict from {ckpt_path}")
             ckpt = load_ckpt(ckpt_path)
             state, start_epoch = resume_state(state, ckpt)
@@ -304,7 +305,7 @@ def run_training(opt) -> None:
                         )
         else:
             state = warm_start_generator(state, res_ckpt_path, load_fn=load_ckpt)
-    elif opt.resume and ckpt_path.exists():
+    elif opt.resume and checkpoint_exists(ckpt_path):
         print(f"load from {ckpt_path}")
         state, start_epoch = resume_state(state, load_ckpt(ckpt_path))
 

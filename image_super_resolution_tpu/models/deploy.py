@@ -59,11 +59,16 @@ def infer_family_dims(params, family: str):
     restructure; the tree itself states both dims (trunk block count + head
     conv output channels), so the export CLI infers them when the flags are
     absent. Explicit flags always win."""
-    prefixes = {"sr": "rrdb", "fast": "block",
-                "denoise": "res0_", "denoise_legacy": "res0_"}
+    # (prefix, blocks-per-depth-unit): Denoiser builds depth//2 res0_ blocks
+    # (denoiser.py), so its key count is HALF the depth; LegacyDenoiser names
+    # its depth blocks res0..res{d-1} ("res" would also match res0_/res1_/
+    # res2_, but those never coexist with the legacy layout).
+    prefixes = {"sr": ("rrdb", 1), "fast": ("block", 1),
+                "denoise": ("res0_", 2), "denoise_legacy": ("res", 1)}
     try:
-        depth = sum(1 for k in params
-                    if str(k).startswith(prefixes[family]))
+        prefix, per_unit = prefixes[family]
+        depth = per_unit * sum(1 for k in params
+                               if str(k).startswith(prefix))
         width = int(params["head"]["conv"]["kernel"].shape[-1])
     except Exception:
         return None, None

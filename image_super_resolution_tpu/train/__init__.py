@@ -1,4 +1,5 @@
 from .checkpoint import (
+    checkpoint_exists,
     checkpoint_name,
     load_any_checkpoint,
     load_checkpoint,
@@ -23,6 +24,7 @@ from .steps import (
 )
 
 __all__ = [
+    "checkpoint_exists",
     "checkpoint_name",
     "load_any_checkpoint",
     "load_checkpoint",

@@ -204,11 +204,25 @@ def warm_start_generator(
     return state
 
 
+def checkpoint_exists(path: str | Path) -> bool:
+    """True if a checkpoint can be loaded from ``path`` — including an Orbax
+    directory parked at ``<path>.old`` by a crash between the save-swap's
+    two renames (orbax_io.save_checkpoint_orbax). Resume gates must use
+    this rather than ``path.exists()`` or the crash-recovery path is
+    unreachable and the next save's stale-cleanup deletes the survivor."""
+    p = Path(path)
+    return p.exists() or p.with_name(p.name + ".old").is_dir()
+
+
 def load_any_checkpoint(path: str | Path) -> Dict[str, Any]:
     """Backend-agnostic load: an Orbax checkpoint is a DIRECTORY, a msgpack
     checkpoint is a file — dispatch on which one ``path`` is, so consumers
-    (export, eval) accept either format without a flag."""
+    (export, eval) accept either format without a flag. A missing path with
+    an Orbax ``.old`` sibling recovers it (crash between the save-swap's
+    renames)."""
     p = Path(path)
+    if not p.exists() and p.with_name(p.name + ".old").is_dir():
+        p.with_name(p.name + ".old").rename(p)
     if p.is_dir():
         from .orbax_io import load_checkpoint_orbax
 

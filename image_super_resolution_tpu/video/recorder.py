@@ -148,8 +148,10 @@ class FFMPEGRecorder:
 
     def stop_recorder(self) -> None:
         if self._proc is not None:
-            self._proc.stdin.close()
-            self._proc.wait()
+            try:
+                self._proc.stdin.close()  # can raise on a dead ffmpeg pipe
+            finally:
+                self._proc.wait()  # always reap — no zombie child
         if self._cv2_writer is not None:
             self._cv2_writer.release()
 

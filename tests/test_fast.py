@@ -74,6 +74,19 @@ def test_infer_family_dims():
     vs = s.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))
     assert infer_family_dims(vs["params"], "sr") == (2, 64)
 
+    # Denoiser builds depth//2 res0_ blocks: the key count must be DOUBLED
+    # or every flag-less denoise export silently builds a half-depth model.
+    from image_super_resolution_tpu.models import Denoiser
+    from image_super_resolution_tpu.models.denoiser import LegacyDenoiser
+
+    d = Denoiser(depth=4, width=8)
+    vd = d.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))
+    assert infer_family_dims(vd["params"], "denoise") == (4, 8)
+
+    ld = LegacyDenoiser(depth=3, width=8, hidden=4)
+    vl = ld.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))
+    assert infer_family_dims(vl["params"], "denoise_legacy") == (3, 8)
+
     assert infer_family_dims({}, "fast") == (None, None)
     assert infer_family_dims({"head": {}}, "sr") == (None, None)
 

@@ -250,7 +250,19 @@ def test_orbax_overwrite_is_crash_safe(tmp_path):
     assert not (tmp_path / "ckpt.tmp").exists()
     assert not (tmp_path / "ckpt.old").exists()
 
-    # simulate a crash between the two renames
+    # simulate a crash between the two renames — recovery must be reachable
+    # through the REAL entry points (the CLI resume gate and the
+    # backend-agnostic loader), not just the orbax-specific function
+    from image_super_resolution_tpu.train import (
+        checkpoint_exists,
+        load_any_checkpoint,
+    )
+
+    ckpt.rename(tmp_path / "ckpt.old")
+    assert checkpoint_exists(ckpt)  # the cli/train.py --resume gate
+    assert load_any_checkpoint(ckpt)["meta"]["epoch"] == 1
+    assert ckpt.exists() and not (tmp_path / "ckpt.old").exists()
+
     ckpt.rename(tmp_path / "ckpt.old")
     assert load_checkpoint_orbax(ckpt)["meta"]["epoch"] == 1
     assert ckpt.exists() and not (tmp_path / "ckpt.old").exists()
