@@ -117,8 +117,8 @@ if __name__ == "__main__":
     parser.add_argument("--family", default=None, choices=["sr", "fast"],
                         help="default: fast flagship, then the reference "
                              "topology as a diagnostic second line on stderr")
-    parser.add_argument("--batch", type=int, default=None)
-    parser.add_argument("--tile", type=int, default=None)
+    parser.add_argument("--batch", type=int, default=256)
+    parser.add_argument("--tile", type=int, default=24)
     opt = parser.parse_args()
 
     from image_super_resolution_tpu.models.deploy import family_defaults
@@ -126,15 +126,18 @@ if __name__ == "__main__":
     if opt.family is not None:
         depth, width = family_defaults(opt.family)
         result = bench(family=opt.family, depth=depth, width=width,
-                       batch=opt.batch or 256, tile=opt.tile or 24)
+                       batch=opt.batch, tile=opt.tile)
     else:
         # Headline = the TPU-first flagship (quality-gated vs the reference
         # topology in PERF.md); the reference-topology number follows on
-        # stderr so both are recorded every round.
-        result = bench(family="fast", depth=14, width=128,
-                       batch=opt.batch or 256, tile=opt.tile or 24)
-        ref = bench(family="sr", depth=16, width=64,
-                    batch=opt.batch or 256, tile=opt.tile or 24)
+        # stderr so both are recorded every round. Presets resolve through
+        # family_defaults so this always benches the shipped configuration.
+        depth, width = family_defaults("fast")
+        result = bench(family="fast", depth=depth, width=width,
+                       batch=opt.batch, tile=opt.tile)
+        depth, width = family_defaults("sr")
+        ref = bench(family="sr", depth=depth, width=width,
+                    batch=opt.batch, tile=opt.tile)
         print(f"reference-topology diagnostic: {json.dumps(ref)}",
               file=sys.stderr)
     print(json.dumps(result))

@@ -309,10 +309,19 @@ def export_tf_saved_model(deployed: DeployedModel, out_dir: str | Path) -> None:
         polymorphic_shapes=[None, "(b, h, w, 3)"],
         with_gradient=False,
     )
+    def _const(a):
+        a = np.asarray(a)
+        # DeployedModel commits its params in the bf16 compute dtype for the
+        # non-optimized families; SavedModel consumers (tf2onnx→onnxruntime
+        # CPU, TFLite) have no bf16 Conv kernels, so widen the stored
+        # weights back to fp32 — the traced graph casts to the compute
+        # dtype internally either way, so the exported math is unchanged.
+        if jnp.issubdtype(a.dtype, jnp.floating) and a.dtype != np.float32:
+            a = a.astype(np.float32)
+        return tf.constant(a)
+
     module = tf.Module()
-    params_tf = jax.tree_util.tree_map(
-        lambda a: tf.constant(np.asarray(a)), deployed.params
-    )
+    params_tf = jax.tree_util.tree_map(_const, deployed.params)
     module.f = tf.function(
         lambda x: fn(params_tf, x),
         input_signature=[tf.TensorSpec([None, None, None, 3], tf.uint8)],

@@ -154,13 +154,12 @@ def init_vgg_params(
             # Raw torchvision state_dict: auto-convert once to a cached npz
             # beside it (torch is installed here), so users with torchvision
             # VGG19 weights get reference-parity perceptual loss without a
-            # manual convert_torch_vgg19 call. The conversion happens ONCE
-            # into a private temp dir (a broken .pth therefore fails loudly
-            # instead of re-running the failing conversion in a fallback);
-            # only the cache-placement step — atomic tmp + os.replace so
-            # concurrent multi-process training never loads a half-written
-            # zip — tolerates a read-only weights dir, by loading from the
-            # temp conversion instead.
+            # manual convert_torch_vgg19 call. The conversion writes ONCE,
+            # directly into an atomic tmp file beside the cache (mkstemp +
+            # os.replace, so concurrent multi-process training never loads
+            # a half-written zip); a read-only weights dir falls back to a
+            # private temp dir. A broken .pth fails loudly either way —
+            # conversion errors propagate, never retried in a fallback.
             import atexit
             import os
             import shutil
@@ -169,28 +168,28 @@ def init_vgg_params(
             cached = p.parent / (p.name + ".npz")
             if not cached.exists() or cached.stat().st_mtime < p.stat().st_mtime:
                 print(f"converting torchvision VGG19 {p} -> {cached}", flush=True)
-                tmp_dir = tempfile.mkdtemp(prefix="isr_vgg_")
-                atexit.register(shutil.rmtree, tmp_dir, ignore_errors=True)
-                converted = Path(tmp_dir) / (p.name + ".npz")
-                convert_torch_vgg19(p, converted)  # errors propagate
                 try:
                     # suffix must END in .npz: np.savez appends it otherwise
                     fd, tmp = tempfile.mkstemp(
                         dir=str(p.parent), suffix=".tmp.npz"
                     )
                 except OSError:  # weights dir not writable: skip the cache
+                    tmp_dir = tempfile.mkdtemp(prefix="isr_vgg_")
+                    atexit.register(shutil.rmtree, tmp_dir, ignore_errors=True)
+                    converted = Path(tmp_dir) / (p.name + ".npz")
+                    convert_torch_vgg19(p, converted)  # errors propagate
                     cached = converted
                 else:
                     os.close(fd)
                     try:
-                        shutil.copyfile(converted, tmp)
+                        convert_torch_vgg19(p, tmp)  # errors propagate
                         os.replace(tmp, cached)
-                    except OSError:
+                    except BaseException:
                         try:
                             os.unlink(tmp)
                         except OSError:
                             pass
-                        cached = converted
+                        raise
             p = cached
         params = load_vgg19_npz(p, params)
         loaded = True

@@ -115,7 +115,26 @@ def save_checkpoint(
     blob = serialization.msgpack_serialize(payload)
     tmp = path.with_suffix(path.suffix + ".tmp")
     tmp.write_bytes(blob)
-    os.replace(tmp, path)
+    old = path.with_name(path.name + ".old")
+    if path.is_dir():
+        # A previous run with --ckpt_backend orbax left a checkpoint
+        # DIRECTORY at this name (os.replace onto it would raise); swap it
+        # out with the same two-rename dance the orbax saver uses, so no
+        # instant is left without a checkpoint on disk.
+        import shutil
+
+        if old.exists():
+            shutil.rmtree(old) if old.is_dir() else old.unlink()
+        path.rename(old)
+        os.replace(tmp, path)
+        shutil.rmtree(old)
+    else:
+        os.replace(tmp, path)
+        if old.is_dir():
+            # stale survivor of an orbax-era crash, superseded by this save
+            import shutil
+
+            shutil.rmtree(old)
 
 
 def load_checkpoint(path: str | Path) -> Dict[str, Any]:
@@ -209,7 +228,8 @@ def checkpoint_exists(path: str | Path) -> bool:
     directory parked at ``<path>.old`` by a crash between the save-swap's
     two renames (orbax_io.save_checkpoint_orbax). Resume gates must use
     this rather than ``path.exists()`` or the crash-recovery path is
-    unreachable and the next save's stale-cleanup deletes the survivor."""
+    unreachable (the run would restart from scratch instead of resuming
+    from the survivor, which the next save then overwrites)."""
     p = Path(path)
     return p.exists() or p.with_name(p.name + ".old").is_dir()
 
@@ -218,11 +238,14 @@ def load_any_checkpoint(path: str | Path) -> Dict[str, Any]:
     """Backend-agnostic load: an Orbax checkpoint is a DIRECTORY, a msgpack
     checkpoint is a file — dispatch on which one ``path`` is, so consumers
     (export, eval) accept either format without a flag. A missing path with
-    an Orbax ``.old`` sibling recovers it (crash between the save-swap's
-    renames)."""
+    an Orbax ``.old`` sibling reads the survivor IN PLACE (crash between the
+    save-swap's renames) — loads never mutate disk, because a rename here
+    races concurrent loaders and an in-flight save's swap window; the next
+    save (orbax_io.save_checkpoint_orbax) promotes ``.old`` back itself."""
     p = Path(path)
-    if not p.exists() and p.with_name(p.name + ".old").is_dir():
-        p.with_name(p.name + ".old").rename(p)
+    old = p.with_name(p.name + ".old")
+    if not p.exists() and old.is_dir():
+        p = old
     if p.is_dir():
         from .orbax_io import load_checkpoint_orbax
 

@@ -59,6 +59,18 @@ def _payload_from_state(
     return payload
 
 
+def _remove_any(path: Path) -> None:
+    """Remove a checkpoint at ``path`` whatever its format — an Orbax
+    DIRECTORY or a msgpack FILE left by a run with the other
+    ``--ckpt_backend`` (rmtree alone raises NotADirectoryError on files)."""
+    import shutil
+
+    if path.is_dir():
+        shutil.rmtree(path)
+    elif path.exists():
+        path.unlink()
+
+
 def _local_checkpointer():
     """A Checkpointer whose barriers involve ONLY the calling process.
 
@@ -101,19 +113,22 @@ def save_checkpoint_orbax(
     # checkpoint — the exact guarantee the msgpack backend's tmp+os.replace
     # provides. Write to a sibling tmp dir, then swap with two renames: at
     # every instant either the old or the new checkpoint exists on disk.
-    import shutil
-
     tmp = path.with_name(path.name + ".tmp")
     old = path.with_name(path.name + ".old")
-    for stale in (tmp, old):  # leftovers from a previous crash
-        if stale.exists():
-            shutil.rmtree(stale)
+    # A crash between a previous save's two renames can leave the phase's
+    # ONLY checkpoint parked at .old — promote it back before the stale
+    # cleanup below would delete it. Loads read .old in place and never
+    # rename (they must not mutate disk); this, the single write path
+    # (the CLI gates saves to one process), owns the recovery rename.
+    if old.exists() and not path.exists():
+        old.rename(path)
+    for stale in (tmp, old):  # leftovers from a previous crash — either a
+        _remove_any(stale)  # dir (orbax) or a FILE (a msgpack-era .ckpt)
     _local_checkpointer().save(tmp, payload, force=True)
-    if path.exists():
+    if path.exists():  # a dir, or a msgpack file when --ckpt_backend changed
         path.rename(old)
     tmp.rename(path)
-    if old.exists():
-        shutil.rmtree(old)
+    _remove_any(old)
 
 
 def load_checkpoint_orbax(directory: str | Path) -> Dict[str, Any]:
@@ -124,10 +139,13 @@ def load_checkpoint_orbax(directory: str | Path) -> Dict[str, Any]:
     path = Path(directory).absolute()
     if not path.exists():
         # A crash between the save's two renames leaves the previous
-        # checkpoint at .old — recover it rather than failing the resume.
+        # checkpoint at .old — read it IN PLACE rather than failing the
+        # resume. No rename here: a load-path rename races concurrent
+        # loaders (two resuming hosts on a shared FS) and an in-flight
+        # save's swap window; the next save promotes .old back itself.
         old = path.with_name(path.name + ".old")
-        if old.exists():
-            old.rename(path)
+        if old.is_dir():
+            path = old
     raw = _local_checkpointer().restore(path)
     for key in ("params", "batch_stats", "ema_params", "ema_batch_stats",
                 "d_params", "d_batch_stats"):

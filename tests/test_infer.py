@@ -229,6 +229,48 @@ def test_tf_saved_model_export_bit_exact(tmp_path):
         np.testing.assert_array_equal(got, want)
 
 
+def test_tf_saved_model_export_widens_bf16_params_to_fp32(tmp_path):
+    """DeployedModel commits its params in the bf16 compute dtype for the
+    non-optimized families (serving speed); the SavedModel export must
+    widen them back to fp32 — tf2onnx→onnxruntime-CPU and TFLite have no
+    bf16 Conv kernels, so a bf16 SavedModel is unusable downstream. The
+    graph casts to bf16 internally either way, so outputs are unchanged."""
+    tf = pytest.importorskip("tensorflow")
+
+    from image_super_resolution_tpu.models.deploy import (
+        DeployedModel,
+        DeploySpec,
+        export_tf_saved_model,
+    )
+
+    spec = DeploySpec(family="fast", depth=2, width=16, scale=2)
+    model = spec.build_model()
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))
+    deployed = DeployedModel(spec, variables["params"])
+    # precondition: the committed serving params really are bf16 (otherwise
+    # this test no longer guards anything)
+    assert any(
+        leaf.dtype == jnp.bfloat16
+        for leaf in jax.tree_util.tree_leaves(deployed.params)
+    )
+    out = tmp_path / "savedmodel_fast"
+    export_tf_saved_model(deployed, out)
+    reloaded = tf.saved_model.load(str(out))
+
+    bf16_enum = tf.bfloat16.as_datatype_enum
+    for cf in reloaded.f.concrete_functions:
+        assert not any(t.dtype == tf.bfloat16 for t in cf.captured_inputs)
+        for node in cf.graph.as_graph_def().node:
+            for attr in node.attr.values():
+                assert attr.type != bf16_enum
+                assert bf16_enum not in attr.list.type
+
+    x = np.random.default_rng(0).integers(0, 256, (1, 12, 12, 3), np.uint8)
+    got = reloaded.f(tf.constant(x)).numpy()
+    want = np.asarray(deployed(jnp.asarray(x)))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_whole_image_oom_falls_back_to_tiling():
     """window=0 on an image too large for HBM degrades to overlap tiling
     instead of crashing (observed: 2048^2 x4 16-RRDB exhausts a 16 GB chip)."""

@@ -260,12 +260,45 @@ def test_orbax_overwrite_is_crash_safe(tmp_path):
 
     ckpt.rename(tmp_path / "ckpt.old")
     assert checkpoint_exists(ckpt)  # the cli/train.py --resume gate
+    # loads read the survivor IN PLACE — no disk mutation (a load-path
+    # rename races concurrent loaders and an in-flight save's swap window)
     assert load_any_checkpoint(ckpt)["meta"]["epoch"] == 1
-    assert ckpt.exists() and not (tmp_path / "ckpt.old").exists()
-
-    ckpt.rename(tmp_path / "ckpt.old")
+    assert not ckpt.exists() and (tmp_path / "ckpt.old").is_dir()
     assert load_checkpoint_orbax(ckpt)["meta"]["epoch"] == 1
-    assert ckpt.exists() and not (tmp_path / "ckpt.old").exists()
+    assert not ckpt.exists() and (tmp_path / "ckpt.old").is_dir()
+
+    # ...the next SAVE owns the recovery: it promotes .old back (instead of
+    # rmtree'ing the only surviving checkpoint as a stale leftover) and
+    # finishes with exactly one checkpoint on disk
+    save_checkpoint_orbax(ckpt, state, epoch=2, mean=[0.5] * 3,
+                          std=[0.2] * 3, loss_history=[1.0, 0.5, 0.3])
+    assert load_checkpoint_orbax(ckpt)["meta"]["epoch"] == 2
+    assert not (tmp_path / "ckpt.old").exists()
+    assert not (tmp_path / "ckpt.tmp").exists()
+
+
+def test_checkpoint_backend_switch_over_existing(tmp_path):
+    """Re-running a phase with the OTHER --ckpt_backend must survive its
+    first save: each backend's per-epoch overwrite handles the other
+    format's artifact at its target name (msgpack FILE under the orbax
+    swap's rmtree, orbax DIRECTORY under msgpack's os.replace)."""
+    pytest.importorskip("orbax.checkpoint")
+    from image_super_resolution_tpu.train import load_any_checkpoint
+    from image_super_resolution_tpu.train.checkpoint import save_checkpoint
+    from image_super_resolution_tpu.train.orbax_io import save_checkpoint_orbax
+
+    state = make_state()
+    ckpt = tmp_path / "ckpt"
+    save_checkpoint(ckpt, state, epoch=0, mean=[0.5] * 3, std=[0.2] * 3)
+    assert ckpt.is_file()
+    save_checkpoint_orbax(ckpt, state, epoch=1, mean=[0.5] * 3, std=[0.2] * 3)
+    assert ckpt.is_dir()
+    assert load_any_checkpoint(ckpt)["meta"]["epoch"] == 1
+    save_checkpoint(ckpt, state, epoch=2, mean=[0.5] * 3, std=[0.2] * 3)
+    assert ckpt.is_file()
+    assert load_any_checkpoint(ckpt)["meta"]["epoch"] == 2
+    assert not (tmp_path / "ckpt.old").exists()
+    assert not (tmp_path / "ckpt.tmp").exists()
 
 
 def test_tensor_parallel_conv_matches_single_device():
