@@ -56,6 +56,13 @@ def build_parser() -> argparse.ArgumentParser:
                              "latency-bound serving axis for single images "
                              "when the batch is too small for "
                              "--data_devices. fast family only")
+    parser.add_argument("--int8", action="store_true",
+                        help="serve the fast family's trunk in int8 (PTQ "
+                             "with per-channel weights, self-calibrated on "
+                             "crops of the first input — no dataset needed "
+                             "at serving time; models/quantized.py). fast "
+                             "family only; the reference topology's int8 "
+                             "was measured dead (PERF.md)")
     parser.add_argument("--codec", type=str, default=None,
                         help="ffmpeg video encoder (e.g. libx264, hevc_nvenc, "
                              "hevc_vaapi); default libx264. Replaces the "
@@ -82,6 +89,7 @@ def run(
     data_devices: int = 1,
     spatial_grid=None,
     tp_devices: int = 1,
+    int8: bool = False,
     codec: str | None = None,
 ) -> Path:
     from ..infer.engine import TiledUpscaler
@@ -97,7 +105,18 @@ def run(
             "--tp_devices is mutually exclusive with --spatial_devices/"
             "--spatial_grid/--data_devices: pick ONE sharding axis"
         )
+    if int8 and use_tp:
+        raise SystemExit(
+            "--int8 is mutually exclusive with --tp_devices (the TP wrapper "
+            "shards the bf16 graph; an int8-TP path is not built)"
+        )
     deployed = load_artifact(model)
+    if int8:
+        from ..models.quantized import quantize_deployed
+
+        deployed = quantize_deployed(
+            deployed, _int8_calib_batches(Path(src), window_size)
+        )
     if use_tp:
         # Channel-shard the model itself; the engine tiles through the TP
         # wrapper unchanged.
@@ -221,6 +240,39 @@ def run(
         return _run_video(engine, deployed, src_path, out_path,
                           engine.batch_size, codec=codec)
     return _run_image(engine, src_path, out_path)
+
+
+def _int8_calib_batches(src_path: Path, window: int) -> list:
+    """PTQ calibration data from the input itself: a grid of up to 8 crops
+    of the first image (or the first video frames). Activation scales are
+    per-tensor scalars, so any representative crop size works for any
+    serving shape."""
+    if src_path.suffix.lower() in VID_FORMATS and src_path.is_file():
+        from ..video.reader import VideoSource
+
+        source = VideoSource(src_path)
+        try:
+            batch, n_valid = next(iter(source.batches(4)))
+            return [batch[:n_valid]]
+        finally:
+            source.close()
+    if src_path.is_dir():
+        from ..utils.general import IMG_FORMATS
+
+        images = sorted(
+            p for p in src_path.iterdir() if p.suffix.lower() in IMG_FORMATS
+        )
+        if not images:
+            raise FileNotFoundError(f"no images in {src_path}")
+        img = _read_image_rgb(images[0])
+    else:
+        img = _read_image_rgb(src_path)
+    h, w = img.shape[:2]
+    c = max(8, min(window or 96, h, w))
+    ys = np.linspace(0, h - c, 2, dtype=int)
+    xs = np.linspace(0, w - c, 4, dtype=int)
+    crops = np.stack([img[y:y + c, x:x + c] for y in ys for x in xs])
+    return [crops]
 
 
 def _read_image_rgb(path: Path) -> np.ndarray:

@@ -1,0 +1,160 @@
+"""Int8 PTQ serving path for the fast family (models/quantized.py).
+
+The load-bearing test is the first one: the functional bf16 mirror must be
+BIT-IDENTICAL to the flax FastSRGenerator, because the calibration and
+int8 graphs are that same function with hooks swapped in — exactness there
+means the quantized path approximates the real deployed model, not a
+drifted re-implementation of it.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from image_super_resolution_tpu.models.deploy import DeployedModel, DeploySpec
+from image_super_resolution_tpu.models.fast import FastSRGenerator
+from image_super_resolution_tpu.models.quantized import (
+    calibrate_scales,
+    fast_forward,
+    int8_forward,
+    quantize_deployed,
+    quantize_fast_params,
+    trunk_sites,
+)
+
+DEPTH, WIDTH, SCALE, ADD = 3, 16, 2, 0.2
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    model = FastSRGenerator(depth=DEPTH, width=WIDTH, scale=SCALE,
+                            add_rate=ADD, fused=True)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))[
+        "params"
+    ]
+    return model, params
+
+
+def _norm_batch(seed, shape=(2, 12, 12, 3)):
+    # a plausible normalized input: zero-mean, unit-ish scale
+    return jnp.asarray(
+        np.random.default_rng(seed).standard_normal(shape), jnp.float32
+    )
+
+
+def test_functional_mirror_is_bit_exact(tiny):
+    model, params = tiny
+    x = _norm_batch(0)
+    want = np.asarray(model.apply({"params": params}, x))
+    got = np.asarray(fast_forward(params, x, DEPTH, ADD, SCALE))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_calibration_covers_every_site(tiny):
+    _, params = tiny
+    scales = calibrate_scales(params, [_norm_batch(1)], DEPTH, ADD, SCALE)
+    assert set(scales) == set(trunk_sites(DEPTH))
+    assert all(s > 0 for s in scales.values())
+
+
+def test_int8_forward_tracks_bf16(tiny):
+    model, params = tiny
+    scales = calibrate_scales(
+        params, [_norm_batch(1), _norm_batch(2)], DEPTH, ADD, SCALE
+    )
+    q = quantize_fast_params(
+        jax.tree_util.tree_map(lambda a: jnp.asarray(a, jnp.float32), params),
+        scales, DEPTH,
+    )
+    x = _norm_batch(3)
+    ref = np.asarray(model.apply({"params": params}, x))
+    got = np.asarray(int8_forward(q, x, DEPTH, ADD, SCALE))
+    assert got.shape == ref.shape
+    mse = float(np.mean((got - ref) ** 2))
+    psnr = 10 * np.log10(4.0 / max(mse, 1e-12))  # tanh range spans 2.0
+    assert psnr > 40, f"int8 trunk diverged from bf16: {psnr:.1f} dB"
+    assert float(np.abs(got - ref).max()) < 0.05
+
+
+def test_quantize_deployed_uint8_parity():
+    spec = DeploySpec(family="fast", depth=DEPTH, width=WIDTH, scale=SCALE,
+                      add_rate=ADD)
+    m = spec.build_model()
+    variables = m.init(jax.random.PRNGKey(1), jnp.zeros((1, 8, 8, 3)))
+    deployed = DeployedModel(spec, variables["params"])
+    rng = np.random.default_rng(7)
+    tiles = jnp.asarray(rng.integers(0, 256, (2, 16, 16, 3), np.uint8))
+    q = quantize_deployed(deployed, [tiles])
+    got = np.asarray(q(tiles)).astype(np.int32)
+    want = np.asarray(deployed(tiles)).astype(np.int32)
+    assert got.shape == want.shape and got.dtype == want.dtype
+    diff = np.abs(got - want)
+    assert float(diff.mean()) < 1.0
+    assert int(diff.max()) <= 8
+
+
+def test_int8_through_tiled_engine():
+    """The quantized wrapper drops into TiledUpscaler like any deployed
+    model (same call surface), and the tiled int8 output tracks the tiled
+    bf16 output."""
+    from image_super_resolution_tpu.infer.engine import TiledUpscaler
+
+    spec = DeploySpec(family="fast", depth=DEPTH, width=WIDTH, scale=SCALE,
+                      add_rate=ADD)
+    m = spec.build_model()
+    variables = m.init(jax.random.PRNGKey(2), jnp.zeros((1, 8, 8, 3)))
+    deployed = DeployedModel(spec, variables["params"])
+    img = np.random.default_rng(3).integers(0, 255, (40, 56, 3), np.uint8)
+    calib = jnp.asarray(img[:16, :16][None])
+    q = quantize_deployed(deployed, [calib])
+    a = TiledUpscaler(deployed, window=16, overlap=4, batch_size=4
+                      ).upscale_image(img)
+    b = TiledUpscaler(q, window=16, overlap=4, batch_size=4
+                      ).upscale_image(img)
+    assert a.shape == b.shape == (80, 112, 3)
+    diff = np.abs(a.astype(int) - b.astype(int))
+    assert float(diff.mean()) < 1.5 and int(diff.max()) <= 12
+
+
+def test_rs_cli_int8(tmp_path):
+    """rs.py --int8 end to end: artifact -> self-calibrated PTQ -> tiled
+    upscale; output tracks the bf16 run. --int8 + --tp_devices rejected."""
+    from PIL import Image
+
+    from image_super_resolution_tpu.cli import rs
+    from image_super_resolution_tpu.models.deploy import save_artifact
+
+    spec = DeploySpec(family="fast", depth=DEPTH, width=WIDTH, scale=SCALE,
+                      add_rate=ADD)
+    m = spec.build_model()
+    variables = m.init(jax.random.PRNGKey(3), jnp.zeros((1, 8, 8, 3)))
+    isr = tmp_path / "m.isr"
+    save_artifact(isr, spec, variables["params"])
+    src = tmp_path / "in.png"
+    Image.fromarray(
+        np.random.default_rng(4).integers(0, 255, (40, 56, 3), np.uint8)
+    ).save(src)
+
+    common = ["--model", str(isr), "--src", str(src),
+              "--window_size", "16", "--overlap", "4"]
+    rs.main([*common, "--save_dir", str(tmp_path / "bf16.png")])
+    rs.main([*common, "--save_dir", str(tmp_path / "int8.png"), "--int8"])
+    a = np.asarray(Image.open(tmp_path / "bf16.png"), dtype=int)
+    b = np.asarray(Image.open(tmp_path / "int8.png"), dtype=int)
+    assert a.shape == b.shape == (80, 112, 3)
+    diff = np.abs(a - b)
+    assert float(diff.mean()) < 1.5 and int(diff.max()) <= 12
+
+    with pytest.raises(SystemExit, match="tp_devices"):
+        rs.main([*common, "--save_dir", str(tmp_path / "x.png"),
+                 "--int8", "--tp_devices", "2"])
+
+
+def test_quantize_deployed_rejects_non_fast():
+    spec = DeploySpec(family="sr", depth=1, width=8, scale=2)
+    m = spec.build_model()
+    variables = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))
+    deployed = DeployedModel(spec, variables["params"], optimize=False)
+    with pytest.raises(ValueError, match="fast family"):
+        quantize_deployed(deployed, [jnp.zeros((1, 8, 8, 3), jnp.uint8)])
