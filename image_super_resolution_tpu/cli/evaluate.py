@@ -31,6 +31,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--data_devices", type=int, default=1,
                         help="shard eval batches over N chips (0 = all local "
                              "devices) — same data-axis serving as rs.py")
+    parser.add_argument("--int8", action="store_true",
+                        help="evaluate the fast family's int8 PTQ serving "
+                             "path (models/quantized.py, same as rs.py "
+                             "--int8), calibrated on the first eval batch — "
+                             "run with and without to quantify the PTQ "
+                             "quality cost on a real checkpoint")
     return parser
 
 
@@ -55,6 +61,25 @@ def main(argv=None) -> dict:
     cfg = LoaderConfig(batch_size=opt.batch_size, patch_size=shape, scale=scale,
                        workers=4, seed=0, drop_last=True)
     loader = PatchLoader(samples, cfg)
+
+    if opt.int8:
+        # Swap in the PTQ server BEFORE eval_batch closes over it, calibrated
+        # on the LR side of the first eval batch (the exact distribution the
+        # quantized trunk will see).
+        from ..models.quantized import quantize_deployed
+
+        try:
+            hr_u8 = jnp.asarray(next(iter(PatchLoader(samples, cfg))))
+        except StopIteration:
+            raise SystemExit(
+                f"--int8 calibration needs at least one full eval batch "
+                f"({opt.batch_size} images); manifest has {len(samples)}"
+            )
+        hr01 = hr_u8.astype(jnp.float32) / 255.0
+        lr01 = (degrade.downscale(hr01, scale, opt.degrade, opt.antialias)
+                if scale > 1 else hr01)
+        lr_u8 = jnp.clip(jnp.round(lr01 * 255.0), 0, 255).astype(jnp.uint8)
+        deployed = quantize_deployed(deployed, [lr_u8])
 
     @jax.jit
     def eval_batch(hr_u8):

@@ -151,6 +151,46 @@ def test_rs_cli_int8(tmp_path):
                  "--int8", "--tp_devices", "2"])
 
 
+def test_eval_cli_int8_quantifies_ptq_cost(tmp_path):
+    """evaluate.py --int8 runs the PTQ path on a real manifest and lands
+    within tolerance of the bf16 metrics — the tool that quantifies the
+    quantization quality cost on a trained checkpoint."""
+    import json
+
+    from PIL import Image
+
+    from image_super_resolution_tpu.cli.evaluate import main as eval_main
+    from image_super_resolution_tpu.models.deploy import save_artifact
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(5)
+    paths = []
+    for i in range(4):
+        base = rng.uniform(0, 255, (12, 12, 3))
+        arr = np.kron(base, np.ones((8, 8, 1))).astype(np.uint8)
+        p = img_dir / f"v{i}.png"
+        Image.fromarray(arr).save(p)
+        paths.append(p.as_posix())
+    (tmp_path / "val.json").write_text(json.dumps(paths))
+
+    spec = DeploySpec(family="fast", depth=DEPTH, width=WIDTH, scale=SCALE,
+                      add_rate=ADD)
+    m = spec.build_model()
+    params = m.init(jax.random.PRNGKey(4), jnp.zeros((1, 8, 8, 3)))["params"]
+    artifact = tmp_path / "m.isr"
+    save_artifact(artifact, spec, params)
+
+    common = ["--model", str(artifact), "--val_json",
+              str(tmp_path / "val.json"), "--shape", "64",
+              "--batch_size", "2"]
+    bf16 = eval_main(common)
+    int8 = eval_main([*common, "--int8"])
+    for key in ("psnr", "psnr_y", "ssim"):
+        assert np.isfinite(int8[key])
+    assert abs(int8["psnr_y"] - bf16["psnr_y"]) < 1.0
+
+
 def test_quantize_deployed_rejects_non_fast():
     spec = DeploySpec(family="sr", depth=1, width=8, scale=2)
     m = spec.build_model()
