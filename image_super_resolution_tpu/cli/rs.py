@@ -110,6 +110,18 @@ def run(
             "--int8 is mutually exclusive with --tp_devices (the TP wrapper "
             "shards the bf16 graph; an int8-TP path is not built)"
         )
+    if int8 and (spatial_devices != 1 or spatial_grid):
+        # The bf16 spatial path matches the whole image within 1 LSB; under
+        # int8 the requantization at every conv input turns the sub-LSB
+        # halo-truncation/reassociation differences into full quant steps
+        # that cascade through the trunk (measured ~40 LSB), so the output
+        # would depend on the device count. --data_devices stays allowed
+        # (identical per-shard shapes -> bit-equal, tested).
+        raise SystemExit(
+            "--int8 is mutually exclusive with --spatial_devices/"
+            "--spatial_grid: requantization amplifies band-boundary "
+            "differences; use --data_devices for multi-chip int8 serving"
+        )
     deployed = load_artifact(model)
     if int8:
         from ..models.quantized import quantize_deployed

@@ -151,6 +151,42 @@ def test_rs_cli_int8(tmp_path):
                  "--int8", "--tp_devices", "2"])
 
 
+def test_int8_with_data_axis_sharding_matches_single_device():
+    """rs.py allows --int8 --data_devices: the quantized wrapper must
+    produce identical tiles when the engine shards tile batches over the
+    data mesh axis."""
+    from image_super_resolution_tpu.infer.engine import TiledUpscaler
+
+    spec = DeploySpec(family="fast", depth=DEPTH, width=WIDTH, scale=SCALE,
+                      add_rate=ADD)
+    m = spec.build_model()
+    variables = m.init(jax.random.PRNGKey(5), jnp.zeros((1, 8, 8, 3)))
+    deployed = DeployedModel(spec, variables["params"])
+    img = np.random.default_rng(6).integers(0, 255, (40, 56, 3), np.uint8)
+    q = quantize_deployed(deployed, [jnp.asarray(img[:16, :16][None])])
+    single = TiledUpscaler(q, window=16, overlap=4, batch_size=4
+                           ).upscale_image(img)
+    sharded = TiledUpscaler(q, window=16, overlap=4, batch_size=4,
+                            data_devices=2).upscale_image(img)
+    np.testing.assert_array_equal(single, sharded)
+
+
+def test_int8_rejects_spatial_sharding():
+    """--int8 + spatial sharding is forbidden: requantization turns the
+    sub-LSB halo-truncation and shape-dependent-reassociation differences
+    the bf16 spatial path tolerates into full quant steps that cascade
+    through the trunk (measured up to ~40 uint8 LSB on a depth-3 toy) —
+    the band output would visibly depend on the device count."""
+    from image_super_resolution_tpu.cli import rs
+
+    with pytest.raises(SystemExit, match="spatial"):
+        rs.run(model="unused.isr", src="unused.png", int8=True,
+               spatial_devices=2)
+    with pytest.raises(SystemExit, match="spatial"):
+        rs.run(model="unused.isr", src="unused.png", int8=True,
+               spatial_grid=(2, 2))
+
+
 def test_eval_cli_int8_quantifies_ptq_cost(tmp_path):
     """evaluate.py --int8 runs the PTQ path on a real manifest and lands
     within tolerance of the bf16 metrics — the tool that quantifies the
