@@ -73,6 +73,7 @@ def bench(
     tile: int = 24,
     k_short: int = 1,
     k_long: int = 6,
+    int8: bool = False,
 ) -> dict:
     import jax
     import jax.numpy as jnp
@@ -87,9 +88,17 @@ def bench(
     xs = jax.random.randint(
         jax.random.PRNGKey(1), (k_long, batch, tile, tile, 3), 0, 256, jnp.uint8
     )
+    if int8:
+        # PTQ trunk (models/quantized.py) calibrated on the bench inputs —
+        # the same self-calibration rs.py --int8 performs on real inputs.
+        from image_super_resolution_tpu.models.quantized import (
+            quantize_deployed,
+        )
+
+        deployed = quantize_deployed(deployed, [xs[0]])
     print(
         f"bench config: {family} depth={depth} width={width} x{scale}, "
-        f"batch={batch}, tile={tile}, device={jax.devices()[0]}",
+        f"batch={batch}, tile={tile}, int8={int8}, device={jax.devices()[0]}",
         file=sys.stderr,
     )
     t_short = _timed_chain(deployed, xs, k_short)
@@ -103,7 +112,8 @@ def bench(
         file=sys.stderr,
     )
     return {
-        "metric": f"x{scale}_sr_output_megapixels_per_sec_per_chip",
+        "metric": f"x{scale}_sr_output_megapixels_per_sec_per_chip"
+                  + ("_int8" if int8 else ""),
         "value": round(mpix_per_s, 2),
         "unit": "MPix/s",
         "vs_baseline": round(mpix_per_s / 200.0, 4),
@@ -119,6 +129,10 @@ if __name__ == "__main__":
                              "topology as a diagnostic second line on stderr")
     parser.add_argument("--batch", type=int, default=256)
     parser.add_argument("--tile", type=int, default=24)
+    parser.add_argument("--int8", action="store_true",
+                        help="bench the fast family's int8 PTQ trunk "
+                             "(models/quantized.py); errors on families "
+                             "whose shapes measured int8-dead")
     opt = parser.parse_args()
 
     from image_super_resolution_tpu.models.deploy import family_defaults
@@ -126,7 +140,7 @@ if __name__ == "__main__":
     if opt.family is not None:
         depth, width = family_defaults(opt.family)
         result = bench(family=opt.family, depth=depth, width=width,
-                       batch=opt.batch, tile=opt.tile)
+                       batch=opt.batch, tile=opt.tile, int8=opt.int8)
     else:
         # Headline = the TPU-first flagship (quality-gated vs the reference
         # topology in PERF.md); the reference-topology number follows on
@@ -134,7 +148,7 @@ if __name__ == "__main__":
         # family_defaults so this always benches the shipped configuration.
         depth, width = family_defaults("fast")
         result = bench(family="fast", depth=depth, width=width,
-                       batch=opt.batch, tile=opt.tile)
+                       batch=opt.batch, tile=opt.tile, int8=opt.int8)
         depth, width = family_defaults("sr")
         ref = bench(family="sr", depth=depth, width=width,
                     batch=opt.batch, tile=opt.tile)
