@@ -121,15 +121,24 @@ def run(argv=None):
         ex(["--checkpoint", str(wd / ckpt), "--out", str(art),
             "--scale", str(opt.scale), *arm["export"]])
         print(f"--- eval {tag} ---")
-        results[tag] = ev(["--model", str(art),
-                           "--val_json", str(ws / "val_images.json"),
-                           "--shape", "192", "--batch_size", "2"])
+        ev_args = ["--model", str(art),
+                   "--val_json", str(ws / "val_images.json"),
+                   "--shape", "192", "--batch_size", "2"]
+        results[tag] = ev(ev_args)
+        if "fast" in arm["export"]:
+            # the quality half of the int8 decision (PERF.md): what does
+            # PTQ cost on a TRAINED flagship, on the same protocol?
+            print(f"--- eval {tag} (int8 PTQ) ---")
+            results[tag + "_int8"] = ev([*ev_args, "--int8"])
 
     r = results["R_reference_topology"]
     f = results["F_fast_flagship"]
     results["gate"] = {
         "psnr_y_delta_fast_minus_ref": round(f["psnr_y"] - r["psnr_y"], 3),
         "passed": bool(f["psnr_y"] >= r["psnr_y"]),
+        "int8_ptq_psnr_y_cost": round(
+            f["psnr_y"] - results["F_fast_flagship_int8"]["psnr_y"], 3
+        ),
     }
     print(json.dumps(results, indent=2))
     (ws / "results.json").write_text(json.dumps(results, indent=2))
