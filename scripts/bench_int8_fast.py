@@ -11,9 +11,14 @@ harness, for exactly these shapes:
   1. lax.conv bf16 128->128 b256 t24   (the deployed baseline)
   2. lax.conv int8 (int32 accum)       same shape
   3. whole fast trunk block (conv-act-conv-residual) bf16 vs int8
+  4. the hand Pallas int8 GEMM (round 3) on the conv's im2col shape
+     (M=147456, K=1152, N=128) with columns charged for free — the
+     upper bound a custom int8 conv kernel could reach.
 
-If int8 >= ~1.5x, a PTQ serving path for the fast family is worth
-building (round-5 candidate); below that the bf16 path stays.
+The PTQ serving path is already built (models/quantized.py, rs.py
+--int8); this probe decides whether it becomes the headline
+(PERF.md decision rule: block-level >= ~1.4x) or stays an opt-in
+measured negative like Winograd.
 
 Run: PYTHONPATH="/root/repo:$PYTHONPATH" python scripts/bench_int8_fast.py
 """
@@ -46,8 +51,13 @@ def main():
     px = B * T * T
     conv_flops = 2 * 9 * px * C * C
 
-    x_bf = jnp.asarray(rng.standard_normal((P, B, T, T, C)) * 0.3, jnp.bfloat16)
-    x_i8 = jnp.asarray(rng.integers(-127, 127, (P, B, T, T, C)), jnp.int8)
+    # operands generated ON DEVICE: the relay uploads at ~4-5 MB/s, and the
+    # Pallas GEMM pool below is ~680 MB
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 6)
+    x_bf = (jax.random.normal(ks[0], (P, B, T, T, C), jnp.bfloat16)
+            * jnp.bfloat16(0.3))
+    x_i8 = jax.random.randint(ks[1], (P, B, T, T, C), -127, 127, jnp.int8)
     w_bf = jnp.asarray(rng.standard_normal((3, 3, C, C)) * 0.02, jnp.bfloat16)
     w_i8 = jnp.asarray(rng.integers(-127, 127, (3, 3, C, C)), jnp.int8)
 
@@ -83,6 +93,22 @@ def main():
     s = timed_chain_pool(block_int8, x_i8, it)
     print(f"fast block int8: {s * 1e3:7.3f} ms  "
           f"({2 * conv_flops / s / 1e12:6.1f} TOP/s) -> {blk / s:.2f}x bf16")
+
+    # 4. custom-kernel upper bound: the round-3 Pallas int8 matmul on the
+    # conv's im2col GEMM shape, columns already materialized (free lunch).
+    # K=1152 amortizes the int32 accumulator 2-4x deeper than the K=288-576
+    # shapes where this same kernel collapsed to 16-35 TOP/s.
+    from bench_int8_pallas import pallas_matmul
+
+    M, K, N = px, 9 * C, C
+    a8 = jax.random.randint(ks[2], (2, M, K), -127, 127, jnp.int8)
+    b8 = jax.random.randint(ks[3], (K, N), -127, 127, jnp.int8)
+    for tk in (576, 1152):
+        fn = lambda x: pallas_matmul(x, b8, tm=512, tk=tk, tn=128)
+        s = timed_chain_pool(fn, a8, pick_iters(0.5))
+        print(f"pallas int8 im2col GEMM (M={M}, K={K}, N={N}, tk={tk}): "
+              f"{s * 1e3:7.3f} ms  ({conv_flops / s / 1e12:6.1f} TOP/s) "
+              f"-> {bf16 / s:.2f}x bf16 direct conv")
 
 
 if __name__ == "__main__":
