@@ -62,20 +62,22 @@ def main(argv=None) -> dict:
                        workers=4, seed=0, drop_last=True)
     loader = PatchLoader(samples, cfg)
 
+    batch_iter = iter(loader)
+    first_batch = next(batch_iter)  # PatchLoader always yields >= 1 batch
     if opt.int8:
         # Swap in the PTQ server BEFORE eval_batch closes over it, calibrated
         # on the LR side of the first eval batch (the exact distribution the
-        # quantized trunk will see).
+        # quantized trunk will see). The batch is kept and fed back into the
+        # eval loop below, so nothing is decoded twice.
+        if deployed.spec.family != "fast":
+            raise SystemExit(
+                f"--int8 serves the fast family only (artifact is "
+                f"{deployed.spec.family!r}); the reference topologies' conv "
+                f"shapes measured int8-dead (PERF.md)"
+            )
         from ..models.quantized import quantize_deployed
 
-        try:
-            hr_u8 = jnp.asarray(next(iter(PatchLoader(samples, cfg))))
-        except StopIteration:
-            raise SystemExit(
-                f"--int8 calibration needs at least one full eval batch "
-                f"({opt.batch_size} images); manifest has {len(samples)}"
-            )
-        hr01 = hr_u8.astype(jnp.float32) / 255.0
+        hr01 = jnp.asarray(first_batch).astype(jnp.float32) / 255.0
         lr01 = (degrade.downscale(hr01, scale, opt.degrade, opt.antialias)
                 if scale > 1 else hr01)
         lr_u8 = jnp.clip(jnp.round(lr01 * 255.0), 0, 255).astype(jnp.uint8)
@@ -119,9 +121,11 @@ def main(argv=None) -> dict:
 
     import numpy as _np
 
+    import itertools
+
     totals: dict = {}
     n = 0
-    for batch in loader:
+    for batch in itertools.chain([first_batch], batch_iter):
         if batch_shard is not None:
             # device_put straight from numpy: one host->device pass per shard
             arr = jax.device_put(_np.asarray(batch), batch_shard)

@@ -124,6 +124,13 @@ def run(
         )
     deployed = load_artifact(model)
     if int8:
+        if deployed.spec.family != "fast":
+            # same clean one-line exit as the other flag-validation errors
+            raise SystemExit(
+                f"--int8 serves the fast family only (artifact is "
+                f"{deployed.spec.family!r}); the reference topologies' conv "
+                f"shapes measured int8-dead (PERF.md)"
+            )
         from ..models.quantized import quantize_deployed
 
         deployed = quantize_deployed(
@@ -254,11 +261,22 @@ def run(
     return _run_image(engine, src_path, out_path)
 
 
+def _grid_crops(img: np.ndarray, c: int, ny: int, nx: int) -> list:
+    h, w = img.shape[:2]
+    c = max(1, min(c, h, w))  # images smaller than the crop: use them whole
+    ys = np.linspace(0, h - c, ny, dtype=int)
+    xs = np.linspace(0, w - c, nx, dtype=int)
+    return [img[y:y + c, x:x + c] for y in ys for x in xs]
+
+
 def _int8_calib_batches(src_path: Path, window: int) -> list:
-    """PTQ calibration data from the input itself: a grid of up to 8 crops
-    of the first image (or the first video frames). Activation scales are
+    """PTQ calibration data from the input itself. Activation scales are
     per-tensor scalars, so any representative crop size works for any
-    serving shape."""
+    serving shape. Folders sample crops from up to 8 images spread across
+    the batch (calibrating on the first image alone would clip every
+    other output when that image is unrepresentative — e.g. a near-black
+    title card would make textured images saturate at every conv input);
+    single images contribute a crop grid; video uses the first frames."""
     if src_path.suffix.lower() in VID_FORMATS and src_path.is_file():
         from ..video.reader import VideoSource
 
@@ -268,6 +286,7 @@ def _int8_calib_batches(src_path: Path, window: int) -> list:
             return [batch[:n_valid]]
         finally:
             source.close()
+    c = window or 96
     if src_path.is_dir():
         from ..utils.general import IMG_FORMATS
 
@@ -276,15 +295,18 @@ def _int8_calib_batches(src_path: Path, window: int) -> list:
         )
         if not images:
             raise FileNotFoundError(f"no images in {src_path}")
-        img = _read_image_rgb(images[0])
+        sel = images[:: max(1, len(images) // 8)][:8]
+        imgs = [_read_image_rgb(p) for p in sel]
+        # one COMMON crop size across images -> one stacked batch -> the
+        # calibration forward compiles once
+        c = max(1, min([c] + [min(i.shape[:2]) for i in imgs]))
+        crops = [crop for i in imgs
+                 for crop in _grid_crops(i, c, 1, max(1, 8 // len(imgs)))]
     else:
         img = _read_image_rgb(src_path)
-    h, w = img.shape[:2]
-    c = max(8, min(window or 96, h, w))
-    ys = np.linspace(0, h - c, 2, dtype=int)
-    xs = np.linspace(0, w - c, 4, dtype=int)
-    crops = np.stack([img[y:y + c, x:x + c] for y in ys for x in xs])
-    return [crops]
+        c = max(1, min(c, *img.shape[:2]))
+        crops = _grid_crops(img, c, 2, 4)
+    return [np.stack(crops)]
 
 
 def _read_image_rgb(path: Path) -> np.ndarray:

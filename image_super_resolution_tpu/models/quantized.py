@@ -157,10 +157,11 @@ def calibrate_scales(
         return seen
 
     for x in batches:
-        seen = one_batch(params, jnp.asarray(x))
+        # one transfer for the whole dict: per-site float() fetches would
+        # pay the relay's ~34 ms RTT 2*depth+1 times per batch
+        seen = jax.device_get(one_batch(params, jnp.asarray(x)))
         for site, m in seen.items():
-            m = float(m)
-            maxes[site] = max(maxes.get(site, 0.0), m)
+            maxes[site] = max(maxes.get(site, 0.0), float(m))
     if not maxes:
         raise ValueError("calibrate_scales needs at least one batch")
     # guard degenerate all-zero activations (scale 0 would divide by zero)

@@ -227,6 +227,61 @@ def test_eval_cli_int8_quantifies_ptq_cost(tmp_path):
     assert abs(int8["psnr_y"] - bf16["psnr_y"]) < 1.0
 
 
+def test_int8_calibration_handles_tiny_images_and_mixed_folders(tmp_path):
+    """Calibration crops must cope with images smaller than the window (a
+    5x100 strip used to produce negative crop origins -> np.stack crash)
+    and with folders of mixed sizes (sampled across up to 8 images, one
+    COMMON crop size so the calibration forward compiles once)."""
+    from PIL import Image
+
+    from image_super_resolution_tpu.cli.rs import _int8_calib_batches
+
+    rng = np.random.default_rng(9)
+    tiny = tmp_path / "tiny.png"
+    Image.fromarray(rng.integers(0, 255, (5, 100, 3), np.uint8)).save(tiny)
+    (batch,) = _int8_calib_batches(tiny, 96)
+    assert batch.ndim == 4 and batch.shape[1:] == (5, 5, 3)
+
+    folder = tmp_path / "imgs"
+    folder.mkdir()
+    for name, shape in (("a.png", (12, 20, 3)), ("b.png", (30, 18, 3))):
+        Image.fromarray(rng.integers(0, 255, shape, np.uint8)
+                        ).save(folder / name)
+    (batch,) = _int8_calib_batches(folder, 96)
+    assert batch.shape == (8, 12, 12, 3)  # 4 crops from each of 2 images
+
+
+def test_cli_int8_rejects_non_fast_artifacts(tmp_path):
+    """rs.py/eval.py --int8 on a non-fast artifact exits with the clean
+    one-line message the other flag-validation errors use, not a
+    ValueError traceback."""
+    import json
+
+    from PIL import Image
+
+    from image_super_resolution_tpu.cli import rs
+    from image_super_resolution_tpu.cli.evaluate import main as eval_main
+    from image_super_resolution_tpu.models.deploy import save_artifact
+
+    spec = DeploySpec(family="sr", depth=1, width=8, scale=2)
+    m = spec.build_model()
+    params = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))["params"]
+    isr = tmp_path / "sr.isr"
+    save_artifact(isr, spec, params)
+    src = tmp_path / "in.png"
+    Image.fromarray(
+        np.random.default_rng(0).integers(0, 255, (20, 20, 3), np.uint8)
+    ).save(src)
+    with pytest.raises(SystemExit, match="fast family"):
+        rs.main(["--model", str(isr), "--src", str(src),
+                 "--save_dir", str(tmp_path / "o.png"), "--int8"])
+    (tmp_path / "val.json").write_text(json.dumps([src.as_posix()]))
+    with pytest.raises(SystemExit, match="fast family"):
+        eval_main(["--model", str(isr), "--val_json",
+                   str(tmp_path / "val.json"), "--shape", "16",
+                   "--batch_size", "1", "--int8"])
+
+
 def test_quantize_deployed_rejects_non_fast():
     spec = DeploySpec(family="sr", depth=1, width=8, scale=2)
     m = spec.build_model()
