@@ -70,8 +70,9 @@ def run(argv=None):
                         help="optionally follow each arm's pixel phase with "
                              "an equal-budget GAN fine-tune (random-VGG "
                              "perceptual loss, same caveat as PERF.md's "
-                             "gan-vs-pixel experiment) and eval THAT "
-                             "checkpoint instead")
+                             "gan-vs-pixel experiment) and ALSO eval that "
+                             "checkpoint (tag *_gan); the pixel-phase gate "
+                             "numbers are always recorded")
     parser.add_argument("--scale", type=int, default=4)
     opt = parser.parse_args(argv)
 
@@ -110,26 +111,29 @@ def run(argv=None):
         wd = ws / tag
         wd.mkdir()
         tr(["--work_dir", str(wd), *arm["train"]])
-        ckpt = arm["ckpt"]
+
+        def export_and_eval(ckpt_name, eval_tag):
+            art = ws / f"{eval_tag}.isr"
+            ex(["--checkpoint", str(wd / ckpt_name), "--out", str(art),
+                "--scale", str(opt.scale), *arm["export"]])
+            print(f"--- eval {eval_tag} ---")
+            ev_args = ["--model", str(art),
+                       "--val_json", str(ws / "val_images.json"),
+                       "--shape", "192", "--batch_size", "2"]
+            results[eval_tag] = ev(ev_args)
+            if "fast" in arm["export"]:
+                # the quality half of the int8 decision (PERF.md): what
+                # does PTQ cost on a TRAINED flagship, same protocol?
+                print(f"--- eval {eval_tag} (int8 PTQ) ---")
+                results[eval_tag + "_int8"] = ev([*ev_args, "--int8"])
+
+        export_and_eval(arm["ckpt"], tag)  # the pixel-phase gate, always
         if opt.gan_epochs:
             # same flags minus --resnet, same warm-start path the CLI uses
             gan_flags = [a for a in arm["train"] if a != "--resnet"]
             gan_flags[gan_flags.index("--epochs") + 1] = str(opt.gan_epochs)
             tr(["--work_dir", str(wd), *gan_flags])
-            ckpt = arm["gan_ckpt"]
-        art = ws / f"{tag}.isr"
-        ex(["--checkpoint", str(wd / ckpt), "--out", str(art),
-            "--scale", str(opt.scale), *arm["export"]])
-        print(f"--- eval {tag} ---")
-        ev_args = ["--model", str(art),
-                   "--val_json", str(ws / "val_images.json"),
-                   "--shape", "192", "--batch_size", "2"]
-        results[tag] = ev(ev_args)
-        if "fast" in arm["export"]:
-            # the quality half of the int8 decision (PERF.md): what does
-            # PTQ cost on a TRAINED flagship, on the same protocol?
-            print(f"--- eval {tag} (int8 PTQ) ---")
-            results[tag + "_int8"] = ev([*ev_args, "--int8"])
+            export_and_eval(arm["gan_ckpt"], tag + "_gan")
 
     r = results["R_reference_topology"]
     f = results["F_fast_flagship"]
