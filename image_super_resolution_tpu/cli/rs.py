@@ -63,6 +63,11 @@ def build_parser() -> argparse.ArgumentParser:
                              "at serving time; models/quantized.py). fast "
                              "family only; the reference topology's int8 "
                              "was measured dead (PERF.md)")
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="capture a jax.profiler device trace of the "
+                             "whole inference run into this directory "
+                             "(TensorBoard-loadable) — the serving-side "
+                             "counterpart of train.py --profile_dir")
     parser.add_argument("--codec", type=str, default=None,
                         help="ffmpeg video encoder (e.g. libx264, hevc_nvenc, "
                              "hevc_vaapi); default libx264. Replaces the "
@@ -90,8 +95,19 @@ def run(
     spatial_grid=None,
     tp_devices: int = 1,
     int8: bool = False,
+    profile_dir: str | None = None,
     codec: str | None = None,
 ) -> Path:
+    if profile_dir:
+        # re-enter without the flag inside the trace window
+        from ..utils.profiling import trace
+
+        kwargs = {k: v for k, v in locals().items()
+                  if k not in ("profile_dir", "trace")}
+        with trace(profile_dir):
+            result = run(**kwargs)
+        print(f"profiler trace written to {profile_dir}")
+        return result
     from ..infer.engine import TiledUpscaler
     from ..models.deploy import load_artifact
 

@@ -536,3 +536,31 @@ def test_cli_demo_missing_model_pt(tmp_path, monkeypatch):
     monkeypatch.setattr(demo, "_SEARCH", (str(tmp_path / "nope.pt"),))
     with pytest.raises(FileNotFoundError, match="--model_pt"):
         demo.main(["--out_dir", str(tmp_path)])
+
+
+def test_rs_cli_profile_dir_captures_trace(tmp_path):
+    """rs.py --profile_dir wraps the whole run in a jax.profiler trace (the
+    serving-side counterpart of train.py --profile_dir) and still produces
+    the normal output."""
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from image_super_resolution_tpu.models.deploy import DeploySpec, save_artifact
+
+    spec = DeploySpec(family="fast", depth=1, width=8, scale=2)
+    m = spec.build_model()
+    params = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))["params"]
+    isr = tmp_path / "m.isr"
+    save_artifact(isr, spec, params)
+    src = tmp_path / "in.png"
+    Image.fromarray(
+        np.random.default_rng(0).integers(0, 255, (20, 24, 3), np.uint8)
+    ).save(src)
+    prof = tmp_path / "prof"
+    out = rs_main(["--model", str(isr), "--src", str(src),
+                   "--save_dir", str(tmp_path / "out.png"),
+                   "--window_size", "16", "--overlap", "4",
+                   "--profile_dir", str(prof)])
+    assert Path(out).exists()
+    assert any(prof.rglob("*"))  # a trace was written
