@@ -26,6 +26,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--max_images", type=int, default=256)
     parser.add_argument("--degrade", type=str, default="bilinear",
                         choices=["bilinear", "bicubic"])
+    parser.add_argument("--denoise_eval", action="store_true",
+                        help="evaluate an x1 (denoise) artifact against the "
+                             "training degradation chain (gauss+ISO noise + "
+                             "JPEG, data/degrade.py) applied with a fixed "
+                             "seed — without this, an x1 artifact is fed "
+                             "CLEAN input (identity-restoration measure)")
     parser.add_argument("--antialias", action="store_true")
     parser.add_argument("--json_out", type=str, default=None)
     parser.add_argument("--data_devices", type=int, default=1,
@@ -55,12 +61,29 @@ def main(argv=None) -> dict:
 
     deployed = load_artifact(opt.model)
     scale = deployed.spec.output_scale
+    if opt.denoise_eval and scale != 1:
+        raise SystemExit(
+            f"--denoise_eval needs an x1 artifact (this one upscales x{scale})"
+        )
     shape = ground_up(opt.shape, max(scale, 1))
 
     samples = load_manifest(opt.val_json)[: opt.max_images]
     cfg = LoaderConfig(batch_size=opt.batch_size, patch_size=shape, scale=scale,
                        workers=4, seed=0, drop_last=True)
     loader = PatchLoader(samples, cfg)
+
+    def make_lr01(hr01, rng):
+        """The eval-time degradation: downscale for SR artifacts; the
+        training noise chain (fixed rng) for --denoise_eval; identity for
+        plain x1."""
+        if scale > 1:
+            return degrade.downscale(hr01, scale, opt.degrade, opt.antialias)
+        if opt.denoise_eval:
+            return jnp.clip(degrade.denoise_degradation(rng, hr01), 0.0, 1.0)
+        return hr01
+
+    def batch_rng(i):
+        return jax.random.fold_in(jax.random.PRNGKey(0), i)
 
     batch_iter = iter(loader)
     first_batch = next(batch_iter)  # PatchLoader always yields >= 1 batch
@@ -69,36 +92,35 @@ def main(argv=None) -> dict:
         # on the LR side of the first eval batch (the exact distribution the
         # quantized trunk will see). The batch is kept and fed back into the
         # eval loop below, so nothing is decoded twice.
-        if deployed.spec.family != "fast":
+        if deployed.spec.family not in ("fast", "denoise_fast"):
             raise SystemExit(
-                f"--int8 serves the fast family only (artifact is "
+                f"--int8 serves the fast families only (artifact is "
                 f"{deployed.spec.family!r}); the reference topologies' conv "
                 f"shapes measured int8-dead (PERF.md)"
             )
         from ..models.quantized import quantize_deployed
 
         hr01 = jnp.asarray(first_batch).astype(jnp.float32) / 255.0
-        lr01 = (degrade.downscale(hr01, scale, opt.degrade, opt.antialias)
-                if scale > 1 else hr01)
+        lr01 = make_lr01(hr01, batch_rng(0))
         lr_u8 = jnp.clip(jnp.round(lr01 * 255.0), 0, 255).astype(jnp.uint8)
         deployed = quantize_deployed(deployed, [lr_u8])
 
     @jax.jit
-    def eval_batch(hr_u8):
+    def eval_batch(hr_u8, rng):
         hr01 = hr_u8.astype(jnp.float32) / 255.0
-        if scale > 1:
-            lr01 = degrade.downscale(hr01, scale, opt.degrade, opt.antialias)
-        else:
-            lr01 = hr01
+        lr01 = make_lr01(hr01, rng)
         lr_u8 = jnp.clip(jnp.round(lr01 * 255.0), 0, 255).astype(jnp.uint8)
         sr01 = deployed.raw_apply(deployed.params, lr_u8).astype(jnp.float32) / 255.0
         cubic01 = degrade.upscale(lr01, scale) if scale > 1 else lr01
+        # The no-model baseline: bicubic upsample for SR; for the denoise
+        # protocol it is the noisy input itself (how bad was the damage).
+        base = "noisy" if opt.denoise_eval else "bicubic"
         return {
             "psnr": psnr(sr01, hr01),
             "psnr_y": psnr_y(sr01, hr01),
             "ssim": ssim(sr01, hr01),
-            "bicubic_psnr": psnr(jnp.clip(cubic01, 0, 1), hr01),
-            "bicubic_psnr_y": psnr_y(jnp.clip(cubic01, 0, 1), hr01),
+            f"{base}_psnr": psnr(jnp.clip(cubic01, 0, 1), hr01),
+            f"{base}_psnr_y": psnr_y(jnp.clip(cubic01, 0, 1), hr01),
         }
 
     batch_shard = None
@@ -125,13 +147,13 @@ def main(argv=None) -> dict:
 
     totals: dict = {}
     n = 0
-    for batch in itertools.chain([first_batch], batch_iter):
+    for i, batch in enumerate(itertools.chain([first_batch], batch_iter)):
         if batch_shard is not None:
             # device_put straight from numpy: one host->device pass per shard
             arr = jax.device_put(_np.asarray(batch), batch_shard)
         else:
             arr = jnp.asarray(batch)
-        metrics = eval_batch(arr)
+        metrics = eval_batch(arr, batch_rng(i))
         for k, v in metrics.items():
             totals[k] = totals.get(k, 0.0) + float(v)
         n += 1

@@ -17,12 +17,17 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--checkpoint", type=str, required=True)
     parser.add_argument("--out", type=str, default="model.isr")
     parser.add_argument("--family", type=str, default="sr",
-                        choices=["sr", "fast", "denoise"],
+                        choices=["sr", "fast", "denoise", "denoise_fast"],
                         help="sr = reference topology; fast = TPU-first "
-                             "flagship (models/fast.py); denoise")
+                             "flagship (models/fast.py); denoise = reference "
+                             "denoiser; denoise_fast = TPU-first denoiser "
+                             "(fast trunk at 1/downshuffle resolution)")
     parser.add_argument("--rs_deep", type=int, default=None,
                         help="trunk depth (default: 16 for sr/denoise, "
-                             "14 for fast)")
+                             "14 for the fast families)")
+    parser.add_argument("--downshuffle", type=int, default=None,
+                        help="denoise_fast sub-pixel front factor (default: "
+                             "read from the checkpoint's head conv, else 2)")
     parser.add_argument("--width", type=int, default=None,
                         help="trunk width (default: 64 for sr, 128 for fast)")
     parser.add_argument("--add_rate", type=float, default=0.2)
@@ -70,10 +75,15 @@ def main(argv=None) -> None:
     )
     from ..train.checkpoint import load_any_checkpoint
 
-    if opt.torch_state_dict and opt.family == "fast":
+    if opt.torch_state_dict and opt.family in ("fast", "denoise_fast"):
         raise SystemExit(
-            "--torch_state_dict: the fast family is TPU-native only — it has "
-            "no reference PyTorch class to load into (use --family sr)"
+            "--torch_state_dict: the fast families are TPU-native only — "
+            "they have no reference PyTorch class to load into (use "
+            "--family sr / denoise)"
+        )
+    if opt.downshuffle is not None and opt.family != "denoise_fast":
+        raise SystemExit(
+            "--downshuffle applies to --family denoise_fast only"
         )
     ckpt = load_any_checkpoint(opt.checkpoint)
     # Absent flags resolve from the checkpoint itself (the tree states its
@@ -84,11 +94,19 @@ def main(argv=None) -> None:
         opt.rs_deep if opt.rs_deep is not None else inf_depth,
         opt.width if opt.width is not None else inf_width,
     )
+    downshuffle = 1
+    if opt.family == "denoise_fast":
+        from ..models.deploy import infer_downshuffle
+
+        downshuffle = (opt.downshuffle
+                       or infer_downshuffle(ckpt.get("params", {})) or 2)
     if ckpt["meta"].get("loss"):
         print("mean loss:", float(np.mean(ckpt["meta"]["loss"])))
     spec = DeploySpec(
         family=opt.family, depth=opt.rs_deep, add_rate=opt.add_rate,
-        scale=opt.scale, enchant=opt.enchant, width=opt.width,
+        # denoise families are x1 by contract regardless of --scale
+        scale=1 if opt.family.startswith("denoise") else opt.scale,
+        enchant=opt.enchant, width=opt.width, downshuffle=downshuffle,
     )
     deployed, fused = build_deployed(ckpt, spec, use_ema=not opt.no_ema)
     save_artifact(opt.out, deployed.spec, fused)

@@ -139,11 +139,20 @@ def run(
             "differences; use --data_devices for multi-chip int8 serving"
         )
     deployed = load_artifact(model)
+    if (spatial_devices != 1 or spatial_grid) and (
+        getattr(deployed.spec, "downshuffle", 1) or 1
+    ) > 1:
+        raise SystemExit(
+            "--spatial_devices/--spatial_grid cannot serve a downshuffle>1 "
+            "artifact (denoise_fast): band offsets shift the model's "
+            "space_to_depth grid, so the output would depend on the device "
+            "count; use --data_devices (x1 images are small per-tile anyway)"
+        )
     if int8:
-        if deployed.spec.family != "fast":
+        if deployed.spec.family not in ("fast", "denoise_fast"):
             # same clean one-line exit as the other flag-validation errors
             raise SystemExit(
-                f"--int8 serves the fast family only (artifact is "
+                f"--int8 serves the fast families only (artifact is "
                 f"{deployed.spec.family!r}); the reference topologies' conv "
                 f"shapes measured int8-dead (PERF.md)"
             )

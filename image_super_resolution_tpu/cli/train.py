@@ -61,9 +61,17 @@ def build_parser() -> argparse.ArgumentParser:
     # --- TPU-native additions ---
     parser.add_argument("--family", type=str, default="sr",
                         choices=["sr", "fast"],
-                        help="generator family: sr = reference topology "
-                             "(ResNet/EResNet); fast = TPU-first flagship "
-                             "(models/fast.py, MXU-aligned width-128 trunk)")
+                        help="model family: sr = reference topology "
+                             "(ResNet/EResNet, or Denoise with "
+                             "--train_denoise); fast = TPU-first flagship "
+                             "(models/fast.py, MXU-aligned width-128 trunk; "
+                             "with --train_denoise: the denoise_fast "
+                             "variant at 1/downshuffle resolution)")
+    parser.add_argument("--downshuffle", type=int, default=None,
+                        help="fast-denoiser sub-pixel front factor (default "
+                             "2): the trunk runs at 1/f resolution on 3*f^2 "
+                             "channels — only with --train_denoise "
+                             "--family fast")
     parser.add_argument("--width", type=int, default=None,
                         help="generator trunk width (default: 64 for sr, "
                              "128 for fast)")
@@ -130,12 +138,16 @@ def run_training(opt) -> None:
             "--enchant is a reference-topology variant (EResNet); the fast "
             "family is BN-free by construction — drop one of the flags"
         )
-    if opt.family == "fast" and opt.train_denoise:
+    if opt.downshuffle is not None and not (
+        opt.train_denoise and opt.family == "fast"
+    ):
         raise SystemExit(
-            "--family fast is a GENERATOR family; the denoiser has no fast "
-            "variant (its depth default would silently change) — drop "
-            "--family for the denoise phase"
+            "--downshuffle applies to the fast DENOISER only "
+            "(--train_denoise --family fast); the SR flagship always runs "
+            "its trunk at LR resolution"
         )
+    if opt.downshuffle is not None and opt.downshuffle < 1:
+        raise SystemExit(f"--downshuffle must be >= 1, got {opt.downshuffle}")
 
     work_dir = Path(opt.work_dir)
     work_dir.mkdir(parents=True, exist_ok=True)
@@ -224,7 +236,17 @@ def run_training(opt) -> None:
                            width=opt.width, remat=opt.remat)
 
     if phase == "denoise":
-        model = Denoiser(depth=opt.rs_deep)
+        if opt.family == "fast":
+            # TPU-first denoiser: the fast trunk at 1/downshuffle resolution
+            # (models/fast.py FastDenoiser; family "denoise_fast" at export).
+            from ..models import FastDenoiser
+
+            model = FastDenoiser(depth=opt.rs_deep, add_rate=opt.add_rate,
+                                 width=opt.width,
+                                 downshuffle=opt.downshuffle or 2,
+                                 remat=opt.remat)
+        else:
+            model = Denoiser(depth=opt.rs_deep)
         state = create_train_state(model, (1, opt.shape, opt.shape, 3), make_tx(), rng)
         step_fn = make_denoise_train_step(mean, std)
     elif phase == "pixel":

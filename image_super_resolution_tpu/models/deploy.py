@@ -40,14 +40,15 @@ def family_defaults(family: str, rs_deep=None, width=None) -> Tuple[int, int]:
     """Resolve (depth, width) CLI defaults per model family.
 
     The reference CLI default ``--rs_deep 16`` / width 64 applies to the
-    reference families; the "fast" flagship preset is depth 14 / width 128 —
-    the ~0.54 MFLOP/output-px configuration benched in PERF.md. Explicit
-    flags always win.
+    reference families; the "fast" flagship preset (and its "denoise_fast"
+    sibling) is depth 14 / width 128 — the MXU-aligned configuration benched
+    in PERF.md. Explicit flags always win.
     """
+    fast = family in ("fast", "denoise_fast")
     if rs_deep is None:
-        rs_deep = 14 if family == "fast" else 16
+        rs_deep = 14 if fast else 16
     if width is None:
-        width = 128 if family == "fast" else 64
+        width = 128 if fast else 64
     return rs_deep, width
 
 
@@ -64,6 +65,7 @@ def infer_family_dims(params, family: str):
     # its depth blocks res0..res{d-1} ("res" would also match res0_/res1_/
     # res2_, but those never coexist with the legacy layout).
     prefixes = {"sr": ("rrdb", 1), "fast": ("block", 1),
+                "denoise_fast": ("block", 1),
                 "denoise": ("res0_", 2), "denoise_legacy": ("res", 1)}
     try:
         prefix, per_unit = prefixes[family]
@@ -75,11 +77,25 @@ def infer_family_dims(params, family: str):
     return (depth, width) if depth > 0 and width > 0 else (None, None)
 
 
+def infer_downshuffle(params) -> int | None:
+    """The fast graph's sub-pixel front factor, read from the checkpoint:
+    the head conv sees 3*f^2 input channels (models/fast.py), so the tree
+    itself states f. None when the tree doesn't look like a fast family."""
+    try:
+        cin = int(params["head"]["conv"]["kernel"].shape[2])
+    except Exception:
+        return None
+    if cin % 3:
+        return None
+    f = round((cin // 3) ** 0.5)
+    return f if 3 * f * f == cin else None
+
+
 @dataclass(frozen=True)
 class DeploySpec:
     """Everything needed to rebuild the inference graph."""
 
-    family: str = "sr"  # "sr" | "fast" | "denoise" | "denoise_legacy"
+    family: str = "sr"  # "sr" | "fast" | "denoise" | "denoise_fast" | "denoise_legacy"
     depth: int = 16
     width: int = 64
     add_rate: float = 0.2
@@ -88,6 +104,7 @@ class DeploySpec:
     mean: Tuple[float, float, float] = IMAGENET_MEAN
     std: Tuple[float, float, float] = IMAGENET_STD
     hidden: int = 0  # denoise_legacy residual bottleneck width (0 = 32)
+    downshuffle: int = 1  # fast-family sub-pixel front factor (denoise_fast: 2)
 
     def build_model(self, dtype=jnp.bfloat16):
         if self.family == "denoise":
@@ -99,15 +116,20 @@ class DeploySpec:
                 depth=self.depth, width=self.width, hidden=self.hidden or 32,
                 fused=True, dtype=dtype,
             )
-        if self.family == "fast":
+        if self.family in ("fast", "denoise_fast"):
             # TPU-first flagship (models/fast.py): BN-free, born-folded tail
             # — the training graph is already the optimal serving graph, so
-            # DeployedModel skips the optimize rewrite for this family.
+            # DeployedModel skips the optimize rewrite for these families.
+            # denoise_fast is the same graph at 1/downshuffle internal
+            # resolution with x1 output (output_scale).
             from .fast import FastSRGenerator
 
             return FastSRGenerator(
-                depth=self.depth, add_rate=self.add_rate, scale=self.scale,
-                width=self.width, fused=True, dtype=dtype,
+                depth=self.depth, add_rate=self.add_rate,
+                scale=self.output_scale, width=self.width,
+                downshuffle=self.downshuffle
+                or (2 if self.family == "denoise_fast" else 1),
+                fused=True, dtype=dtype,
             )
         return SRGenerator(
             depth=self.depth,

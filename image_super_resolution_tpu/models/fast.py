@@ -44,7 +44,7 @@ import jax.numpy as jnp
 
 from ..ops.activations import ActSpec, apply_act
 from ..ops.conv import ConvBlock
-from ..ops.pixel_shuffle import pixel_shuffle
+from ..ops.pixel_shuffle import pixel_shuffle, pixel_unshuffle
 
 
 class FastResBlock(nn.Module):
@@ -81,6 +81,7 @@ class FastSRGenerator(nn.Module):
     add_rate: float = 0.2
     scale: int = 4
     width: int = 128
+    downshuffle: int = 1  # run the trunk at 1/downshuffle resolution
     fused: bool = False  # no-op: the graph is BN-free by construction
     remat: bool = False  # rematerialize each block's activations in backward
     dtype: Any = jnp.bfloat16
@@ -90,8 +91,25 @@ class FastSRGenerator(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         if self.scale not in (1, 2, 4, 8):
             raise ValueError(f"scale must be in (1, 2, 4, 8), got {self.scale}")
+        if self.downshuffle < 1:
+            raise ValueError(f"downshuffle must be >= 1, got {self.downshuffle}")
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         x = x.astype(self.dtype)
+        # Sub-pixel front (``downshuffle`` f > 1): edge-pad H/W to multiples
+        # of f, then space_to_depth so the WHOLE trunk runs at 1/f resolution
+        # on 3*f^2 input channels — lossless (every pixel is still seen), and
+        # the tail's single shuffle factor becomes scale*f, restoring full
+        # output resolution. This is how the denoise_fast family spends its
+        # FLOPs at MXU-friendly shapes instead of full-res narrow convs.
+        h_in, w_in = x.shape[1], x.shape[2]
+        f = self.downshuffle
+        pad_h = -h_in % f
+        pad_w = -w_in % f
+        if f > 1:
+            if pad_h or pad_w:
+                x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)),
+                            mode="edge")
+            x = pixel_unshuffle(x, f)
         x = ConvBlock(self.width, 3, act=("leaky_relu", 0.01), use_bn=False,
                       name="head", **kw)(x, train)
         block_cls = (
@@ -105,11 +123,39 @@ class FastSRGenerator(nn.Module):
         h = ConvBlock(self.width, 3, act=None, use_bn=False,
                       name="trunk_conv", **kw)(h, train)
         x = x + h  # global residual, same role as SRGenerator's
-        # Born-folded tail: project to 3*scale^2 channels at LR resolution,
-        # tanh BEFORE the shuffle (elementwise ops commute with
+        # Born-folded tail: project to 3*(scale*f)^2 channels at trunk
+        # resolution, tanh BEFORE the shuffle (elementwise ops commute with
         # depth_to_space), one shuffle straight to the output scale.
-        x = ConvBlock(3 * self.scale ** 2, 3, act="tanh", use_bn=False,
+        r = self.scale * f
+        x = ConvBlock(3 * r ** 2, 3, act="tanh", use_bn=False,
                       name="tail", **kw)(x, train)
-        if self.scale > 1:
-            x = pixel_shuffle(x, self.scale)
+        if r > 1:
+            x = pixel_shuffle(x, r)
+        if pad_h or pad_w:  # undo the front padding at output scale
+            x = x[:, : h_in * self.scale, : w_in * self.scale, :]
         return x.astype(jnp.float32)
+
+
+def FastDenoiser(
+    depth: int = 14,
+    add_rate: float = 0.2,
+    width: int = 128,
+    downshuffle: int = 2,
+    **kw,
+) -> FastSRGenerator:
+    """TPU-first denoiser (``family="denoise_fast"``): the fast trunk run at
+    1/``downshuffle`` resolution with x1 output.
+
+    The reference ``Denoise`` (utils/models.py:672-706, rebuilt as
+    models/denoiser.Denoiser) spends ~3.75 MFLOP per pixel, 2/3 of it in
+    64-wide convs at FULL resolution — half the MXU's 128 lanes idle on every
+    one of them. This family space_to_depths the input once (lossless) and
+    runs the SAME MXU-aligned width-128 trunk as the SR flagship at half
+    resolution: ~2.15 MFLOP/px at full lane utilization, identical param
+    names/shapes to ``family="fast"`` so every surrounding subsystem (EMA,
+    checkpointing, export, tiled/data-parallel serving, int8 PTQ) carries
+    over unchanged. Quality-gated against the reference topology by
+    scripts/denoise_quality_experiment.py (table in PERF.md).
+    """
+    return FastSRGenerator(depth=depth, add_rate=add_rate, scale=1,
+                           width=width, downshuffle=downshuffle, **kw)

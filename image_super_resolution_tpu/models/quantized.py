@@ -49,7 +49,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.transforms import normalize, tanh_to_uint8
-from ..ops.pixel_shuffle import pixel_shuffle
+from ..ops.pixel_shuffle import pixel_shuffle, pixel_unshuffle
 
 _LEAKY = 0.01  # the fast trunk's activation slope (models/fast.py)
 
@@ -94,6 +94,7 @@ def fast_forward(
     scale: int,
     record: Optional[Callable[[str, jnp.ndarray], None]] = None,
     quant: Optional[Callable[[str, jnp.ndarray], jnp.ndarray]] = None,
+    downshuffle: int = 1,
 ) -> jnp.ndarray:
     """models/fast.py FastSRGenerator forward, reimplemented functionally.
 
@@ -103,6 +104,9 @@ def fast_forward(
       (conv+bias+act for conv0 sites, conv+bias for the rest) with the
       int8 version; when given, the residual stream runs in fp32 so
       requantization noise never compounds.
+    - ``downshuffle`` mirrors the flax module's sub-pixel front (the
+      denoise_fast family): edge-pad + space_to_depth in, tail shuffle
+      scale*downshuffle, crop back out.
     - With both hooks absent this is bit-identical to the flax module in
       bf16 (tested), including the float32 output cast.
     """
@@ -115,6 +119,16 @@ def fast_forward(
             return quant(site, h)
         return _bf16_conv_act(h, _site_params(params, site), act)
 
+    x = x.astype(jnp.bfloat16)
+    h_in, w_in = x.shape[1], x.shape[2]
+    f = downshuffle
+    pad_h = -h_in % f
+    pad_w = -w_in % f
+    if f > 1:
+        if pad_h or pad_w:
+            x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)),
+                        mode="edge")
+        x = pixel_unshuffle(x, f)
     x = _bf16_conv_act(x, params["head"], act=True).astype(stream_dtype)
     h = x
     for i in range(depth):
@@ -124,8 +138,11 @@ def fast_forward(
     t = site_conv("trunk_conv", h, act=False)
     x = x + t.astype(stream_dtype)
     x = jnp.tanh(_bf16_conv_act(x, params["tail"], act=False))
-    if scale > 1:
-        x = pixel_shuffle(x, scale)
+    r = scale * f
+    if r > 1:
+        x = pixel_shuffle(x, r)
+    if pad_h or pad_w:
+        x = x[:, : h_in * scale, : w_in * scale, :]
     return x.astype(jnp.float32)
 
 
@@ -138,6 +155,7 @@ def calibrate_scales(
     depth: int,
     add_rate: float,
     scale: int,
+    downshuffle: int = 1,
 ) -> Dict[str, float]:
     """Static per-tensor activation scales: running max|x| over the
     calibration batches at every quantized conv input, / 127.
@@ -153,7 +171,8 @@ def calibrate_scales(
         def record(site, t):
             seen[site] = jnp.max(jnp.abs(t.astype(jnp.float32)))
 
-        fast_forward(params, x, depth, add_rate, scale, record=record)
+        fast_forward(params, x, depth, add_rate, scale, record=record,
+                     downshuffle=downshuffle)
         return seen
 
     for x in batches:
@@ -201,6 +220,7 @@ def int8_forward(
     depth: int,
     add_rate: float,
     scale: int,
+    downshuffle: int = 1,
 ) -> jnp.ndarray:
     """Serving forward with the trunk convs in int8 (int32 accumulation)."""
 
@@ -215,7 +235,8 @@ def int8_forward(
             y = jax.nn.leaky_relu(y, negative_slope=_LEAKY)
         return y
 
-    return fast_forward(qparams, x, depth, add_rate, scale, quant=quant)
+    return fast_forward(qparams, x, depth, add_rate, scale, quant=quant,
+                        downshuffle=downshuffle)
 
 
 # ------------------------------------------------------------- deployment --
@@ -233,13 +254,14 @@ class Int8DeployedFast:
     def __post_init__(self):
         mean = tuple(float(v) for v in self.spec.mean)
         std = tuple(float(v) for v in self.spec.std)
-        depth, add_rate, scale = (
-            self.spec.depth, self.spec.add_rate, self.spec.scale,
-        )
+        depth, add_rate = self.spec.depth, self.spec.add_rate
+        scale = self.spec.output_scale  # 1 for denoise_fast
+        downshuffle = getattr(self.spec, "downshuffle", 1) or 1
 
         def apply(params, u8):
             x = normalize(u8, mean, std)
-            y = int8_forward(params, x, depth, add_rate, scale)
+            y = int8_forward(params, x, depth, add_rate, scale,
+                             downshuffle=downshuffle)
             return tanh_to_uint8(y)
 
         self._apply = jax.jit(apply)
@@ -257,11 +279,11 @@ def quantize_deployed(deployed, calib_u8_batches) -> Int8DeployedFast:
     (e.g. the first tile batch of the image being served — self-calibration
     costs one extra bf16 pass and needs no dataset at serving time)."""
     spec = deployed.spec
-    if spec.family != "fast":
+    if spec.family not in ("fast", "denoise_fast"):
         raise ValueError(
-            "int8 serving is built (and measured) for the fast family only; "
-            f"got family={spec.family!r} — the reference topology's int8 was "
-            "measured dead at its conv shapes (PERF.md)."
+            "int8 serving is built (and measured) for the fast families "
+            f"only; got family={spec.family!r} — the reference topologies' "
+            "int8 was measured dead at their conv shapes (PERF.md)."
         )
     mean = tuple(float(v) for v in spec.mean)
     std = tuple(float(v) for v in spec.std)
@@ -273,6 +295,7 @@ def quantize_deployed(deployed, calib_u8_batches) -> Int8DeployedFast:
     )
     batches = [normalize(jnp.asarray(b), mean, std) for b in calib_u8_batches]
     scales = calibrate_scales(params32, batches, spec.depth, spec.add_rate,
-                              spec.scale)
+                              spec.output_scale,
+                              downshuffle=getattr(spec, "downshuffle", 1) or 1)
     qtree = quantize_fast_params(params32, scales, spec.depth)
     return Int8DeployedFast(spec, qtree)

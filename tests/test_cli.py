@@ -10,6 +10,7 @@ import numpy as np
 import pytest
 
 from image_super_resolution_tpu.cli.create_json import main as create_json_main
+from image_super_resolution_tpu.cli.evaluate import main as eval_main
 from image_super_resolution_tpu.cli.export import main as export_main
 from image_super_resolution_tpu.cli.rs import main as rs_main
 from image_super_resolution_tpu.cli.train import main as train_main
@@ -160,6 +161,67 @@ def test_cli_denoise_phase(workspace):
     # config reports the even-equivalent depth 0; layout is what matters.
     assert cfg["depth"] == 0 and cfg["width"] == 64
     assert {"head", "down", "trunk_conv", "tail"} <= set(p2)
+
+
+def test_cli_denoise_fast_phase(workspace):
+    """The TPU-first denoiser through the real CLI chain: --train_denoise
+    --family fast -> export --family denoise_fast (depth/width/downshuffle
+    all inferred from the checkpoint) -> x1 rs -> evaluate --denoise_eval."""
+    ws = workspace
+    train_main([
+        "--train_denoise", "--family", "fast", "--width", "8",
+        "--save_name", "tf",
+        "--train_json", str(ws / "train_images.json"),
+        "--work_dir", str(ws), *COMMON,
+    ])
+    ckpt = ws / "denoise_tf_1_0.2.ckpt"
+    assert ckpt.exists()
+    _assert_really_trained(ckpt)
+    artifact = ws / "denoise_fast.isr"
+    export_main([
+        "--checkpoint", str(ckpt), "--out", str(artifact),
+        "--family", "denoise_fast",  # dims + downshuffle from the ckpt
+    ])
+    from image_super_resolution_tpu.models.deploy import load_artifact
+
+    spec = load_artifact(artifact).spec
+    assert (spec.depth, spec.width, spec.downshuffle) == (1, 8, 2)
+    assert spec.output_scale == 1
+    rs_main([
+        "--model", str(artifact), "--src", str(ws / "imgs" / "img_1.png"),
+        "--save_dir", str(ws / "dnf.png"),
+        "--window_size", "48", "--overlap", "4", "--batch_size", "2",
+    ])
+    from PIL import Image
+
+    assert Image.open(ws / "dnf.png").size == (80, 80)  # x1 contract
+
+    # the denoise eval protocol: noisy input from the training chain
+    result = eval_main([
+        "--model", str(artifact), "--val_json", str(ws / "val_images.json"),
+        "--shape", "48", "--batch_size", "2", "--max_images", "4",
+        "--denoise_eval",
+    ])
+    assert "noisy_psnr" in result and np.isfinite(result["psnr_y"])
+
+    # reverse interop is impossible for TPU-native-only families
+    with pytest.raises(SystemExit, match="TPU-native"):
+        export_main([
+            "--checkpoint", str(ckpt), "--out", str(ws / "x.isr"),
+            "--family", "denoise_fast", "--torch_state_dict", str(ws / "x.pt"),
+        ])
+
+
+def test_cli_denoise_fast_flag_guards():
+    """--downshuffle is the fast denoiser's knob only; elsewhere it must
+    fail fast, not silently change an unrelated run."""
+    with pytest.raises(SystemExit, match="downshuffle"):
+        train_main(["--resnet", "--downshuffle", "2", *COMMON])
+    with pytest.raises(SystemExit, match="downshuffle"):
+        train_main(["--train_denoise", "--downshuffle", "2", *COMMON])
+    with pytest.raises(SystemExit, match="downshuffle"):
+        train_main(["--train_denoise", "--family", "fast",
+                    "--downshuffle", "0", *COMMON])
 
 
 def test_cli_gan_discriminator_export(workspace):

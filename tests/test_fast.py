@@ -191,6 +191,115 @@ def test_ema_and_warm_start_compatible():
         )
 
 
+# --------------------------------------------------------- denoise_fast ----
+
+
+def test_fast_denoiser_preset_param_count():
+    from image_super_resolution_tpu.models import FastDenoiser
+
+    m = FastDenoiser()  # depth 14, width 128, downshuffle 2, x1
+    v = jax.eval_shape(m.init, jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))
+    n = sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(v))
+    # head 12->128 (13,952) + 14 blocks x 2 convs 128->128 (4,132,352)
+    # + trunk_conv (147,584) + tail 128->12 (13,836)
+    assert n == 4_307_724
+
+
+@pytest.mark.parametrize("hw", [(8, 8), (7, 9), (1, 5)])
+def test_fast_denoiser_same_size_any_shape(hw):
+    """x1 output at the INPUT size for any H/W — the sub-pixel front
+    edge-pads to a multiple of downshuffle and the tail crops back, so
+    tiling/video never has to care about divisibility."""
+    from image_super_resolution_tpu.models import FastDenoiser
+
+    m = FastDenoiser(depth=2, width=16, downshuffle=2, dtype=jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, *hw, 3)),
+                    jnp.float32)
+    y = m.apply(v, x)
+    assert y.shape == (2, *hw, 3)
+    assert y.dtype == jnp.float32
+    assert float(jnp.max(jnp.abs(y))) <= 1.0
+
+
+def test_fast_denoiser_internal_pad_equals_explicit_pad_and_crop():
+    """The module's odd-size handling IS edge-pad + crop: running the model
+    on a hand-edge-padded divisible input and cropping gives bit-identical
+    output to feeding the odd input directly."""
+    from image_super_resolution_tpu.models import FastDenoiser
+
+    m = FastDenoiser(depth=1, width=8, downshuffle=2, dtype=jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))
+    x = np.random.default_rng(1).normal(size=(1, 5, 7, 3)).astype(np.float32)
+    direct = np.asarray(m.apply(v, jnp.asarray(x)))
+    padded = np.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)), mode="edge")
+    via_pad = np.asarray(m.apply(v, jnp.asarray(padded)))[:, :5, :7, :]
+    np.testing.assert_array_equal(direct, via_pad)
+
+
+def test_fast_denoiser_downshuffle_grid_sensitivity_documented():
+    """The space_to_depth grid is anchored at the image origin: shifting
+    the input by one pixel does NOT commute (this is WHY rs.py forbids
+    spatial band sharding for downshuffle>1 artifacts)."""
+    from image_super_resolution_tpu.models import FastDenoiser
+
+    m = FastDenoiser(depth=1, width=8, downshuffle=2, dtype=jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))
+    x = np.random.default_rng(2).normal(size=(1, 9, 8, 3)).astype(np.float32)
+    full = np.asarray(m.apply(v, jnp.asarray(x)))[:, 1:]
+    shifted = np.asarray(m.apply(v, jnp.asarray(x[:, 1:])))
+    assert not np.array_equal(full, shifted)
+
+
+def test_denoise_fast_deploy_roundtrip(tmp_path):
+    """denoise_fast artifact: spec records family + downshuffle, deployed
+    model is uint8 x1, and the artifact round-trips."""
+    spec = DeploySpec(family="denoise_fast", depth=2, width=16, downshuffle=2)
+    assert spec.output_scale == 1
+    model = spec.build_model(dtype=jnp.float32)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))
+    deployed = DeployedModel(spec, v["params"], dtype=jnp.float32)
+    assert not deployed.optimized
+    u8 = jnp.asarray(np.random.default_rng(3).integers(
+        0, 255, (2, 9, 11, 3), dtype=np.uint8))
+    out = np.asarray(deployed(u8))
+    assert out.shape == (2, 9, 11, 3) and out.dtype == np.uint8
+
+    save_artifact(tmp_path / "dn.isr", spec, v["params"])
+    reloaded = load_artifact(tmp_path / "dn.isr", dtype=jnp.float32)
+    assert reloaded.spec.family == "denoise_fast"
+    assert reloaded.spec.downshuffle == 2
+    re_out = np.asarray(reloaded(u8))
+    assert np.max(np.abs(re_out.astype(int) - out.astype(int))) <= 2
+
+
+def test_denoise_fast_family_helpers():
+    from image_super_resolution_tpu.models import FastDenoiser
+    from image_super_resolution_tpu.models.deploy import (
+        infer_downshuffle,
+        infer_family_dims,
+    )
+
+    assert family_defaults("denoise_fast") == (14, 128)
+    m = FastDenoiser(depth=3, width=16, downshuffle=2)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))
+    assert infer_family_dims(v["params"], "denoise_fast") == (3, 16)
+    assert infer_downshuffle(v["params"]) == 2
+    # the SR flagship's head sees 3 channels -> f=1
+    sr = FastSRGenerator(depth=1, width=8, scale=2)
+    vs = sr.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))
+    assert infer_downshuffle(vs["params"]) == 1
+    assert infer_downshuffle({}) is None
+    # old artifacts (no downshuffle key in the spec JSON) default to 1
+    import dataclasses
+    import json
+
+    d = {k: v for k, v in dataclasses.asdict(
+        DeploySpec(family="fast")).items() if k != "downshuffle"}
+    spec = DeploySpec(**json.loads(json.dumps(d)))
+    assert spec.downshuffle == 1
+
+
 def test_flop_budget_vs_reference():
     """The design claim behind the family: <=0.55 MFLOP per output pixel at
     the flagship preset — ~3x less than the reference topology's 1.57

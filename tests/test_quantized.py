@@ -51,6 +51,42 @@ def test_functional_mirror_is_bit_exact(tiny):
     np.testing.assert_array_equal(got, want)
 
 
+def test_functional_mirror_bit_exact_with_downshuffle():
+    """Same contract for the denoise_fast variant: the mirror must replicate
+    the sub-pixel front (edge-pad + space_to_depth + crop-back) exactly,
+    odd input sizes included."""
+    from image_super_resolution_tpu.models import FastDenoiser
+
+    model = FastDenoiser(depth=2, width=16, downshuffle=2, fused=True)
+    params = model.init(jax.random.PRNGKey(4), jnp.zeros((1, 8, 8, 3)))[
+        "params"
+    ]
+    for shape in [(2, 12, 12, 3), (1, 7, 9, 3)]:
+        x = _norm_batch(5, shape)
+        want = np.asarray(model.apply({"params": params}, x))
+        got = np.asarray(
+            fast_forward(params, x, 2, ADD, 1, downshuffle=2)
+        )
+        np.testing.assert_array_equal(got, want)
+
+
+def test_quantize_deployed_denoise_fast_uint8_parity():
+    spec = DeploySpec(family="denoise_fast", depth=DEPTH, width=WIDTH,
+                      add_rate=ADD, downshuffle=2)
+    m = spec.build_model()
+    variables = m.init(jax.random.PRNGKey(5), jnp.zeros((1, 8, 8, 3)))
+    deployed = DeployedModel(spec, variables["params"])
+    rng = np.random.default_rng(11)
+    tiles = jnp.asarray(rng.integers(0, 256, (2, 17, 15, 3), np.uint8))
+    q = quantize_deployed(deployed, [tiles])
+    got = np.asarray(q(tiles)).astype(np.int32)
+    want = np.asarray(deployed(tiles)).astype(np.int32)
+    assert got.shape == want.shape == (2, 17, 15, 3)
+    diff = np.abs(got - want)
+    assert float(diff.mean()) < 1.0
+    assert int(diff.max()) <= 8
+
+
 def test_calibration_covers_every_site(tiny):
     _, params = tiny
     scales = calibrate_scales(params, [_norm_batch(1)], DEPTH, ADD, SCALE)
@@ -272,11 +308,11 @@ def test_cli_int8_rejects_non_fast_artifacts(tmp_path):
     Image.fromarray(
         np.random.default_rng(0).integers(0, 255, (20, 20, 3), np.uint8)
     ).save(src)
-    with pytest.raises(SystemExit, match="fast family"):
+    with pytest.raises(SystemExit, match="fast famil"):
         rs.main(["--model", str(isr), "--src", str(src),
                  "--save_dir", str(tmp_path / "o.png"), "--int8"])
     (tmp_path / "val.json").write_text(json.dumps([src.as_posix()]))
-    with pytest.raises(SystemExit, match="fast family"):
+    with pytest.raises(SystemExit, match="fast famil"):
         eval_main(["--model", str(isr), "--val_json",
                    str(tmp_path / "val.json"), "--shape", "16",
                    "--batch_size", "1", "--int8"])
@@ -287,5 +323,5 @@ def test_quantize_deployed_rejects_non_fast():
     m = spec.build_model()
     variables = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))
     deployed = DeployedModel(spec, variables["params"], optimize=False)
-    with pytest.raises(ValueError, match="fast family"):
+    with pytest.raises(ValueError, match="fast famil"):
         quantize_deployed(deployed, [jnp.zeros((1, 8, 8, 3), jnp.uint8)])
