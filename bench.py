@@ -80,7 +80,13 @@ def bench(
 
     from image_super_resolution_tpu.models.deploy import DeployedModel, DeploySpec
 
-    spec = DeploySpec(family=family, depth=depth, width=width, scale=scale)
+    denoise = family.startswith("denoise")
+    spec = DeploySpec(
+        family=family, depth=depth, width=width,
+        scale=1 if denoise else scale,
+        downshuffle=2 if family == "denoise_fast" else 1,
+    )
+    scale = spec.output_scale
     model = spec.build_model()
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
     deployed = DeployedModel(spec, variables["params"])
@@ -111,8 +117,9 @@ def bench(
         f"t_short={t_short * 1e3:.1f} ms t_long={t_long * 1e3:.1f} ms",
         file=sys.stderr,
     )
+    kind = "denoise" if denoise else "sr"
     return {
-        "metric": f"x{scale}_sr_output_megapixels_per_sec_per_chip"
+        "metric": f"x{scale}_{kind}_output_megapixels_per_sec_per_chip"
                   + ("_int8" if int8 else ""),
         "value": round(mpix_per_s, 2),
         "unit": "MPix/s",
@@ -124,11 +131,17 @@ if __name__ == "__main__":
     import argparse
 
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("--family", default=None, choices=["sr", "fast"],
+    parser.add_argument("--family", default=None,
+                        choices=["sr", "fast", "denoise", "denoise_fast"],
                         help="default: fast flagship, then the reference "
-                             "topology as a diagnostic second line on stderr")
+                             "topology as a diagnostic second line on stderr; "
+                             "denoise families measure x1 restoration "
+                             "throughput")
     parser.add_argument("--batch", type=int, default=256)
-    parser.add_argument("--tile", type=int, default=24)
+    parser.add_argument("--tile", type=int, default=None,
+                        help="input tile size (default 24 for the SR "
+                             "families, 96 for x1 denoise — equal output "
+                             "MPix per iteration either way)")
     parser.add_argument("--int8", action="store_true",
                         help="bench the fast family's int8 PTQ trunk "
                              "(models/quantized.py); errors on families "
@@ -139,19 +152,21 @@ if __name__ == "__main__":
 
     if opt.family is not None:
         depth, width = family_defaults(opt.family)
+        tile = opt.tile or (96 if opt.family.startswith("denoise") else 24)
         result = bench(family=opt.family, depth=depth, width=width,
-                       batch=opt.batch, tile=opt.tile, int8=opt.int8)
+                       batch=opt.batch, tile=tile, int8=opt.int8)
     else:
         # Headline = the TPU-first flagship (quality-gated vs the reference
         # topology in PERF.md); the reference-topology number follows on
         # stderr so both are recorded every round. Presets resolve through
         # family_defaults so this always benches the shipped configuration.
+        tile = opt.tile or 24
         depth, width = family_defaults("fast")
         result = bench(family="fast", depth=depth, width=width,
-                       batch=opt.batch, tile=opt.tile, int8=opt.int8)
+                       batch=opt.batch, tile=tile, int8=opt.int8)
         depth, width = family_defaults("sr")
         ref = bench(family="sr", depth=depth, width=width,
-                    batch=opt.batch, tile=opt.tile)
+                    batch=opt.batch, tile=tile)
         print(f"reference-topology diagnostic: {json.dumps(ref)}",
               file=sys.stderr)
     print(json.dumps(result))

@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Quality gate for the TPU-first denoiser family (models/fast.py FastDenoiser).
+
+Same protocol as scripts/flagship_quality_experiment.py, applied to the
+denoise phase: train the reference denoiser topology (utils/models.py:672-706
+rebuild, depth 16 width 64) and the fast denoiser (width-128 trunk at 1/2
+resolution, family "denoise_fast") through the real CLI at an EQUAL epoch
+budget on identical synthetic data/seed, then evaluate both with the real
+eval CLI's --denoise_eval protocol (noisy input from the training degradation
+chain: gauss + ISO noise + JPEG, fixed seed). Gate: fast PSNR-Y >= reference
+PSNR-Y. The fast arm's int8 PTQ cost is measured on the same protocol.
+Results recorded in PERF.md.
+
+Usage: python scripts/denoise_quality_experiment.py [--workdir DIR]
+       [--epochs N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from flagship_quality_experiment import make_dataset  # noqa: E402  (same data)
+
+
+def run(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--workdir", type=str, default="/tmp/denoise_quality")
+    parser.add_argument("--epochs", type=int, default=120,
+                        help="equal denoise-phase budget for both arms "
+                             "(240 imgs / batch 16 = 15 steps per epoch)")
+    parser.add_argument("--downshuffle", type=int, default=2,
+                        help="fast arm's sub-pixel front factor")
+    parser.add_argument("--smoke", action="store_true",
+                        help="mechanics check on CPU: 1 epoch, tiny nets, "
+                             "tiny dataset (the gate numbers are "
+                             "meaningless in this mode)")
+    opt = parser.parse_args(argv)
+
+    from image_super_resolution_tpu.cli.evaluate import main as ev
+    from image_super_resolution_tpu.cli.export import main as ex
+    from image_super_resolution_tpu.cli.train import main as tr
+
+    ws = Path(opt.workdir)
+    if ws.exists():
+        shutil.rmtree(ws)
+    ws.mkdir(parents=True)
+    if opt.smoke:
+        opt.epochs = 1
+        make_dataset(ws, n_train=8, n_val=2)
+    else:
+        make_dataset(ws)
+    common = ["--train_denoise", "--shape", "96",
+              "--batch_size", "2" if opt.smoke else "16",
+              "--epochs", str(opt.epochs), "--ckpt_every", "25",
+              "--seed", "100", "--train_json", str(ws / "train_images.json"),
+              "--no_tensorboard", "--worker", "4"]
+    ref_dims = ["--rs_deep", "2"] if opt.smoke else []
+    fast_dims = ["--rs_deep", "1", "--width", "8"] if opt.smoke else []
+    ref_ckpt = "denoise_r_2_0.2.ckpt" if opt.smoke else "denoise_r_16_0.2.ckpt"
+    fast_ckpt = "denoise_f_1_0.2.ckpt" if opt.smoke else "denoise_f_14_0.2.ckpt"
+
+    arms = {
+        "R_reference_denoiser": {
+            "train": ["--save_name", "r", *ref_dims, *common],
+            "ckpt": ref_ckpt,
+            "export": ["--family", "denoise"],
+        },
+        "F_fast_denoiser": {
+            "train": ["--family", "fast",
+                      "--downshuffle", str(opt.downshuffle),
+                      "--save_name", "f", *fast_dims, *common],
+            "ckpt": fast_ckpt,
+            "export": ["--family", "denoise_fast"],
+        },
+    }
+
+    results = {}
+    for tag, arm in arms.items():
+        wd = ws / tag
+        wd.mkdir()
+        tr(["--work_dir", str(wd), *arm["train"]])
+        art = ws / f"{tag}.isr"
+        ex(["--checkpoint", str(wd / arm["ckpt"]), "--out", str(art),
+            *arm["export"]])
+        print(f"--- eval {tag} ---")
+        ev_args = ["--model", str(art), "--denoise_eval",
+                   "--val_json", str(ws / "val_images.json"),
+                   "--shape", "192", "--batch_size", "2"]
+        results[tag] = ev(ev_args)
+        if "denoise_fast" in arm["export"]:
+            print(f"--- eval {tag} (int8 PTQ) ---")
+            results[tag + "_int8"] = ev([*ev_args, "--int8"])
+
+    r = results["R_reference_denoiser"]
+    f = results["F_fast_denoiser"]
+    results["gate"] = {
+        "psnr_y_delta_fast_minus_ref": round(f["psnr_y"] - r["psnr_y"], 3),
+        "passed": bool(f["psnr_y"] >= r["psnr_y"]),
+        "int8_ptq_psnr_y_cost": round(
+            f["psnr_y"] - results["F_fast_denoiser_int8"]["psnr_y"], 3
+        ),
+        "noisy_input_psnr_y": r["noisy_psnr_y"],
+    }
+    print(json.dumps(results, indent=2))
+    (ws / "results.json").write_text(json.dumps(results, indent=2))
+    return results
+
+
+if __name__ == "__main__":
+    run()
