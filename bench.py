@@ -152,7 +152,8 @@ if __name__ == "__main__":
 
     if opt.family is not None:
         depth, width = family_defaults(opt.family)
-        tile = opt.tile or (96 if opt.family.startswith("denoise") else 24)
+        tile = opt.tile if opt.tile is not None else (
+            96 if opt.family.startswith("denoise") else 24)
         result = bench(family=opt.family, depth=depth, width=width,
                        batch=opt.batch, tile=tile, int8=opt.int8)
     else:
@@ -160,7 +161,7 @@ if __name__ == "__main__":
         # topology in PERF.md); the reference-topology number follows on
         # stderr so both are recorded every round. Presets resolve through
         # family_defaults so this always benches the shipped configuration.
-        tile = opt.tile or 24
+        tile = opt.tile if opt.tile is not None else 24
         depth, width = family_defaults("fast")
         result = bench(family="fast", depth=depth, width=width,
                        batch=opt.batch, tile=tile, int8=opt.int8)

@@ -85,6 +85,8 @@ def main(argv=None) -> None:
         raise SystemExit(
             "--downshuffle applies to --family denoise_fast only"
         )
+    if opt.downshuffle is not None and opt.downshuffle < 1:
+        raise SystemExit(f"--downshuffle must be >= 1, got {opt.downshuffle}")
     ckpt = load_any_checkpoint(opt.checkpoint)
     # Absent flags resolve from the checkpoint itself (the tree states its
     # depth/width), falling back to the family presets; explicit flags win.
@@ -98,8 +100,17 @@ def main(argv=None) -> None:
     if opt.family == "denoise_fast":
         from ..models.deploy import infer_downshuffle
 
-        downshuffle = (opt.downshuffle
-                       or infer_downshuffle(ckpt.get("params", {})) or 2)
+        inferred = infer_downshuffle(ckpt.get("params", {}))
+        if (opt.downshuffle is not None and inferred is not None
+                and opt.downshuffle != inferred):
+            # an artifact with the wrong factor saves fine but explodes with
+            # an opaque conv-shape error at first inference — fail here
+            raise SystemExit(
+                f"--downshuffle {opt.downshuffle} contradicts the checkpoint "
+                f"(its head conv sees 3*{inferred}^2 input channels => the "
+                f"model was trained with downshuffle {inferred})"
+            )
+        downshuffle = opt.downshuffle or inferred or 2
     if ckpt["meta"].get("loss"):
         print("mean loss:", float(np.mean(ckpt["meta"]["loss"])))
     spec = DeploySpec(

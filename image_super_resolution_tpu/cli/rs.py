@@ -178,15 +178,20 @@ def run(
         deployed = TPFastUpscaler(
             deployed, make_mesh(n_data=1, n_tile=n_tp, devices=local)
         )
-    engine = TiledUpscaler(
-        deployed,
-        window=window_size,
-        overlap=overlap,
-        batch_size=batch_size,
-        spatial_devices=spatial_devices,
-        data_devices=data_devices,
-        spatial_grid=spatial_grid,
-    )
+    try:
+        engine = TiledUpscaler(
+            deployed,
+            window=window_size,
+            overlap=overlap,
+            batch_size=batch_size,
+            spatial_devices=spatial_devices,
+            data_devices=data_devices,
+            spatial_grid=spatial_grid,
+        )
+    except ValueError as e:
+        # engine-level flag/geometry validation (mode exclusivity, downshuffle
+        # grid alignment) -> the same clean one-line exit as the CLI guards
+        raise SystemExit(str(e))
     src_path = Path(src)
     out_path = Path(save_dir)
 

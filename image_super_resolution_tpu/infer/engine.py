@@ -88,6 +88,34 @@ class TiledUpscaler:
         self.batch_size = batch_size
         self.spatial_devices = spatial_devices
         self.spatial_grid = tuple(spatial_grid) if spatial_grid else None
+        # downshuffle>1 models (denoise_fast) are translation-variant with
+        # period f: every tile must start on the same f-grid as the image
+        # origin or adjacent tiles are computed on different space_to_depth
+        # phases (visible seams). window/overlap multiples of f keep every
+        # fixed-grid tile position (k*stride - overlap) on phase 0; spatial
+        # band sharding cannot guarantee band offsets on the grid at all, so
+        # it is rejected here at the engine (not just the CLI).
+        self._grid = getattr(getattr(deployed, "spec", None),
+                             "downshuffle", 1) or 1
+        if self._grid > 1:
+            if spatial_devices > 1 or self.spatial_grid not in (None, (1, 1)):
+                raise ValueError(
+                    "spatial sharding cannot serve a downshuffle>1 artifact "
+                    "(denoise_fast): band offsets shift the model's "
+                    "space_to_depth grid; use data_devices instead"
+                )
+            if self.window and self.window % self._grid:
+                raise ValueError(
+                    f"window {self.window} must be a multiple of the "
+                    f"artifact's downshuffle factor {self._grid} so tiles "
+                    f"stay on the model's space_to_depth grid"
+                )
+            if self.overlap % self._grid:
+                raise ValueError(
+                    f"overlap {self.overlap} must be a multiple of the "
+                    f"artifact's downshuffle factor {self._grid} so tiles "
+                    f"stay on the model's space_to_depth grid"
+                )
         if self.spatial_grid:
             if min(self.spatial_grid) < 1:
                 raise ValueError(
@@ -190,12 +218,14 @@ class TiledUpscaler:
                     f"(latched for this engine)"
                 )
                 # latch: don't re-attempt the doomed allocation per image in
-                # batch runs over equally huge inputs
-                self.window = 96
+                # batch runs over equally huge inputs (window kept on the
+                # model's downshuffle grid)
+                self.window = -(-96 // self._grid) * self._grid
         return upscale_tiled(
             self.deployed, image_u8,
             window=self.window or 96, overlap=self.overlap,
             batch_size=self.batch_size, sharding=self._chunk_sharding,
+            grid=self._grid,
         )
 
     def _upscale_spatial(self, image_u8: np.ndarray) -> np.ndarray:

@@ -53,6 +53,7 @@ def upscale_tiled(
     overlap: int = 8,
     batch_size: int = 8,
     sharding=None,
+    grid: int = 1,
 ) -> np.ndarray:
     """Tile -> batch -> model -> stitch. image: HWC uint8; returns HWC uint8.
 
@@ -64,9 +65,17 @@ def upscale_tiled(
     tile batch across the chips of a data mesh (multi-chip serving; see
     TiledUpscaler(data_devices=...)). Output is bitwise identical to the
     unsharded path.
+
+    ``grid`` > 1 (downshuffle models): window and overlap must be multiples
+    of it (TiledUpscaler validates), and the small-image window shrink below
+    rounds back UP to the grid — then every tile position (k*stride -
+    overlap) sits on phase 0 of the model's space_to_depth grid, matching
+    whole-image inference.
     """
     h, w = image.shape[:2]
     window = min(window, max(h, w) + 2 * overlap)
+    if grid > 1:
+        window = -(-window // grid) * grid
     positions, stride, ph, pw = plan_tiles(h, w, window, overlap)
 
     pad_bottom = ph - overlap - h

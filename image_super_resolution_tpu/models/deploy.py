@@ -302,12 +302,20 @@ def export_stablehlo(
     (utils/models.py:803-812): one artifact serves any input size on any PJRT
     runtime. Static shapes compile ahead-of-time and skip per-shape
     specialization at load; pick per deployment.
+
+    downshuffle>1 artifacts (denoise_fast) export with H/W constrained to
+    multiples of the factor (symbolic ``f*h``): the internal edge-pad for
+    odd sizes is data-dependent shape arithmetic jax.export cannot keep
+    symbolic. Clients pad indivisible inputs (static-shape export accepts
+    any size as before).
     """
     from jax import export as jax_export
 
     fn = jax.jit(lambda u8: deployed(u8))
+    f = getattr(deployed.spec, "downshuffle", 1) or 1
     if polymorphic:
-        b, h, w = jax_export.symbolic_shape("b, h, w")
+        dims = f"b, {f}*h, {f}*w" if f > 1 else "b, h, w"
+        b, h, w = jax_export.symbolic_shape(dims)
         spec = jax.ShapeDtypeStruct((b, h, w, 3), jnp.uint8)
     else:
         spec = jax.ShapeDtypeStruct((batch, height, width, 3), jnp.uint8)
@@ -326,9 +334,14 @@ def export_tf_saved_model(deployed: DeployedModel, out_dir: str | Path) -> None:
     import tensorflow as tf  # gated: raise cleanly if absent
     from jax.experimental import jax2tf
 
+    # downshuffle>1 artifacts trace with H/W constrained to multiples of the
+    # factor (same reason as export_stablehlo): indivisible inputs fail the
+    # jax2tf shape assertion at TF runtime and must be padded by the client.
+    f = getattr(deployed.spec, "downshuffle", 1) or 1
+    img_shape = f"(b, {f}*h, {f}*w, 3)" if f > 1 else "(b, h, w, 3)"
     fn = jax2tf.convert(
         deployed.raw_apply,
-        polymorphic_shapes=[None, "(b, h, w, 3)"],
+        polymorphic_shapes=[None, img_shape],
         with_gradient=False,
     )
     def _const(a):

@@ -204,6 +204,14 @@ def test_cli_denoise_fast_phase(workspace):
     ])
     assert "noisy_psnr" in result and np.isfinite(result["psnr_y"])
 
+    # a --downshuffle that contradicts the checkpoint must fail at export,
+    # not as an opaque conv-shape error at first inference
+    with pytest.raises(SystemExit, match="contradicts"):
+        export_main([
+            "--checkpoint", str(ckpt), "--out", str(ws / "y.isr"),
+            "--family", "denoise_fast", "--downshuffle", "4",
+        ])
+
     # reverse interop is impossible for TPU-native-only families
     with pytest.raises(SystemExit, match="TPU-native"):
         export_main([

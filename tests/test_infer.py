@@ -49,6 +49,72 @@ def test_tiled_equals_whole_image_given_enough_overlap():
     np.testing.assert_array_equal(tiled[r:-r, r:-r], whole[r:-r, r:-r])
 
 
+def denoise_fast_deployed(depth=1, width=8, downshuffle=2):
+    spec = DeploySpec(family="denoise_fast", depth=depth, width=width,
+                      downshuffle=downshuffle)
+    model = spec.build_model(dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
+    return DeployedModel(spec, variables["params"], dtype=jnp.float32)
+
+
+def test_denoise_fast_tiled_equals_whole_image_when_grid_aligned():
+    """The downshuffle model is translation-variant with period f; the
+    engine's geometry rule (window/overlap multiples of f) keeps every tile
+    on phase 0 of the space_to_depth grid, so tiled == whole away from
+    borders — exactly like the shift-invariant families."""
+    deployed = denoise_fast_deployed()
+    rng = np.random.default_rng(5)
+    image = rng.integers(0, 255, (72, 88, 3), dtype=np.uint8)
+    whole = np.asarray(deployed(jnp.asarray(image[None])))[0]
+    # depth-1 half-res receptive radius ~5 => 10 full-res px; overlap 12
+    tiled = upscale_tiled(deployed, image, window=32, overlap=12,
+                          batch_size=4, grid=2)
+    assert tiled.shape == whole.shape == (72, 88, 3)
+    r = 24
+    np.testing.assert_array_equal(tiled[r:-r, r:-r], whole[r:-r, r:-r])
+
+
+def test_denoise_fast_engine_rejects_grid_misaligned_geometry():
+    """Odd window/overlap would compute adjacent tiles on different
+    space_to_depth phases (visible seams); spatial band sharding cannot hold
+    the grid at all. The ENGINE enforces all of it (library callers too)."""
+    from image_super_resolution_tpu.infer.engine import TiledUpscaler
+
+    deployed = denoise_fast_deployed()
+    with pytest.raises(ValueError, match="downshuffle"):
+        TiledUpscaler(deployed, window=47, overlap=4)
+    with pytest.raises(ValueError, match="downshuffle"):
+        TiledUpscaler(deployed, window=48, overlap=13)
+    with pytest.raises(ValueError, match="downshuffle"):
+        TiledUpscaler(deployed, spatial_devices=2)
+    with pytest.raises(ValueError, match="downshuffle"):
+        TiledUpscaler(deployed, spatial_grid=(2, 1))
+    # aligned geometry constructs fine, small-image window shrink included
+    eng = TiledUpscaler(deployed, window=48, overlap=12)
+    img = np.random.default_rng(6).integers(0, 255, (9, 9, 3), np.uint8)
+    out = eng.upscale_image(img)  # window shrink rounds back onto the grid
+    assert out.shape == (9, 9, 3)
+
+
+def test_denoise_fast_stablehlo_polymorphic_export(tmp_path):
+    """Polymorphic export of a downshuffle artifact: dims are constrained
+    to multiples of f (the internal odd-size pad cannot stay symbolic), and
+    the exported program matches the native one on divisible shapes."""
+    from jax import export as jax_export
+
+    from image_super_resolution_tpu.models.deploy import export_stablehlo
+
+    deployed = denoise_fast_deployed()
+    path = tmp_path / "dn_dyn.hlo"
+    export_stablehlo(deployed, 1, 16, 16, path, polymorphic=True)
+    rebuilt = jax_export.deserialize(path.read_bytes())
+    rng = np.random.default_rng(7)
+    for shape in [(1, 16, 16, 3), (2, 24, 20, 3)]:
+        x = jnp.asarray(rng.integers(0, 255, shape, dtype=np.uint8))
+        np.testing.assert_array_equal(np.asarray(rebuilt.call(x)),
+                                      np.asarray(deployed(x)))
+
+
 def test_tiled_zero_overlap_reference_mode():
     deployed = small_deployed(scale=2)
     image = np.random.default_rng(1).integers(0, 255, (50, 60, 3), dtype=np.uint8)
