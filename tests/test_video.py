@@ -140,3 +140,39 @@ def test_rs_video_path_data_devices(tmp_path):
     assert f1.shape == f8.shape == (6, 96, 128, 3)
     # same pixels in, same SR math, same encoder settings -> identical files
     np.testing.assert_array_equal(f1, f8)
+
+
+def test_rs_video_path_denoise_fast(tmp_path):
+    """x1 restoration video through the CLI with a denoise_fast artifact:
+    output keeps frame size and count. (Odd frame dims cannot be tested
+    through a real codec — cv2's mp4v rounds sources to even dims for
+    yuv420; internal odd-size padding is covered by the image-path tests.)"""
+    import jax
+    import jax.numpy as jnp
+
+    from image_super_resolution_tpu.cli.rs import main as rs_main
+    from image_super_resolution_tpu.models.deploy import (
+        DeploySpec,
+        save_artifact,
+    )
+
+    path = tmp_path / "in.mp4"
+    _write_test_video(path, n_frames=5, w=62, h=46)
+
+    spec = DeploySpec(family="denoise_fast", depth=1, width=8, downshuffle=2)
+    model = spec.build_model(dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))["params"]
+    artifact = tmp_path / "dn.isr"
+    save_artifact(artifact, spec, params)
+
+    out = rs_main([
+        "--model", str(artifact), "--src", str(path),
+        "--save_dir", str(tmp_path / "dn.mp4"), "--batch_size", "2",
+    ])
+    assert out.exists()
+    cap = cv2.VideoCapture(str(out))
+    assert cap.isOpened()
+    assert int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)) == 62
+    assert int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT)) == 46
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 5
+    cap.release()
