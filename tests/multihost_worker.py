@@ -40,6 +40,8 @@ for phase in phases:
     args = common + extra
     if phase == "pixel":
         args = ["--resnet"] + args
+    elif phase == "denoise":
+        args = ["--train_denoise"] + args
     train_main(args)
     print(f"WORKER {pid} PHASE {phase} DONE", flush=True)
 print(f"WORKER {pid} DONE", flush=True)

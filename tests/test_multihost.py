@@ -272,6 +272,28 @@ def test_two_process_fast_family(tmp_path):
     assert np.all(np.isfinite(meta["loss"]))
 
 
+def test_two_process_denoise_fast_family(tmp_path):
+    """The denoise phase across real process boundaries, with the
+    denoise_fast family: its on-device degradation rng comes from --seed
+    (identical on every host), so hosts apply the same noise program to
+    their own manifest stripes — this pins that the third phase (and the
+    sub-pixel-front model) is not single-host-only."""
+    _make_manifest(tmp_path, 16)
+    outs = _run_workers(
+        tmp_path, "denoise", extra=["--family", "fast", "--width", "8"],
+    )
+    for pid, out in enumerate(outs):
+        assert f"WORKER {pid} PHASE denoise DONE" in out
+
+    from image_super_resolution_tpu.train import load_checkpoint
+
+    ckpt = tmp_path / "denoise_mh_1_0.2.ckpt"
+    assert ckpt.exists()
+    meta = load_checkpoint(ckpt)["meta"]
+    assert meta["step"] > 0
+    assert np.all(np.isfinite(meta["loss"]))
+
+
 def test_three_process_uneven_manifest(tmp_path):
     """Nothing in the multi-host path may assume exactly two hosts: three
     processes (12 global devices) over a 23-image manifest must agree on
