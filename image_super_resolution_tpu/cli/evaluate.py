@@ -38,7 +38,7 @@ def build_parser() -> argparse.ArgumentParser:
                         help="shard eval batches over N chips (0 = all local "
                              "devices) — same data-axis serving as rs.py")
     parser.add_argument("--int8", action="store_true",
-                        help="evaluate the fast family's int8 PTQ serving "
+                        help="evaluate the fast families' int8 PTQ serving "
                              "path (models/quantized.py, same as rs.py "
                              "--int8), calibrated on the first eval batch — "
                              "run with and without to quantify the PTQ "

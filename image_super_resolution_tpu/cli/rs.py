@@ -55,14 +55,16 @@ def build_parser() -> argparse.ArgumentParser:
                              "one psum per residual block — the "
                              "latency-bound serving axis for single images "
                              "when the batch is too small for "
-                             "--data_devices. fast family only")
+                             "--data_devices. fast families only "
+                             "(fast / denoise_fast)")
     parser.add_argument("--int8", action="store_true",
-                        help="serve the fast family's trunk in int8 (PTQ "
+                        help="serve the fast-family trunk in int8 (PTQ "
                              "with per-channel weights, self-calibrated on "
                              "crops of the first input — no dataset needed "
                              "at serving time; models/quantized.py). fast "
-                             "family only; the reference topology's int8 "
-                             "was measured dead (PERF.md)")
+                             "families only (fast / denoise_fast); the "
+                             "reference topologies' int8 was measured dead "
+                             "(PERF.md)")
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="capture a jax.profiler device trace of the "
                              "whole inference run into this directory "

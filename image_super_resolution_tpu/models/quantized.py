@@ -1,4 +1,4 @@
-"""Post-training int8 serving path for the fast family.
+"""Post-training int8 serving path for the fast families ("fast", "denoise_fast").
 
 Why this exists: the v5e MXU runs int8 at 2x its bf16 rate (394 vs 197
 TOP/s peak). For the REFERENCE topology int8 was measured dead — its
