@@ -130,6 +130,15 @@ class TPFastUpscaler:
                 f"topology is served via data/spatial axes (got family="
                 f"{spec.family!r})"
             )
+        if (getattr(spec, "downshuffle", 1) or 1) > 1:
+            # this wrapper re-implements the fast forward; it has no
+            # sub-pixel front, so a downshuffle spec would feed the head
+            # conv 3 channels where it expects 3*f^2
+            raise ValueError(
+                "tensor parallelism does not implement the downshuffle "
+                "sub-pixel front; serve downshuffle artifacts via "
+                "data_devices"
+            )
         n = int(mesh.shape[axis])
         if spec.width % n:
             raise ValueError(
