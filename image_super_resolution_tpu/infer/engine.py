@@ -95,6 +95,16 @@ class TiledUpscaler:
         # fixed-grid tile position (k*stride - overlap) on phase 0; spatial
         # band sharding cannot guarantee band offsets on the grid at all, so
         # it is rejected here at the engine (not just the CLI).
+        # Geometry that plan_tiles would reject deep inside upscale_image
+        # (where folder-batch mode downgrades it to a per-image warning)
+        # fails at construction instead, where the CLI turns it into a
+        # clean one-line exit.
+        if self.overlap < 0:
+            raise ValueError(f"overlap must be >= 0, got {self.overlap}")
+        if self.window and self.overlap * 2 >= self.window:
+            raise ValueError(
+                f"need overlap < window/2, got {self.overlap}/{self.window}"
+            )
         self._grid = getattr(getattr(deployed, "spec", None),
                              "downshuffle", 1) or 1
         if self._grid > 1:
@@ -219,8 +229,11 @@ class TiledUpscaler:
                 )
                 # latch: don't re-attempt the doomed allocation per image in
                 # batch runs over equally huge inputs (window kept on the
-                # model's downshuffle grid)
-                self.window = -(-96 // self._grid) * self._grid
+                # model's downshuffle grid and above 2*overlap — the
+                # overlap was never validated against a window in
+                # whole-image mode)
+                w = max(96, 2 * self.overlap + 2)
+                self.window = -(-w // self._grid) * self._grid
         return upscale_tiled(
             self.deployed, image_u8,
             window=self.window or 96, overlap=self.overlap,

@@ -127,8 +127,10 @@ class DeploySpec:
             return FastSRGenerator(
                 depth=self.depth, add_rate=self.add_rate,
                 scale=self.output_scale, width=self.width,
-                downshuffle=self.downshuffle
-                or (2 if self.family == "denoise_fast" else 1),
+                # `or 1`, matching every other consumer of this field (the
+                # export CLI infers the real factor from the checkpoint's
+                # head conv, so artifacts always carry an explicit value)
+                downshuffle=self.downshuffle or 1,
                 fused=True, dtype=dtype,
             )
         return SRGenerator(
@@ -277,8 +279,14 @@ def build_deployed(
     Mirrors the reference export: EMA weights preferred (utils/models.py:780),
     dataset mean/std baked from the checkpoint (781), BN folded (784).
     """
-    params = ckpt.get("ema_params" if use_ema else "params") or ckpt["params"]
-    stats = ckpt.get("ema_batch_stats" if use_ema else "batch_stats", {}) or {}
+    # Chained fallbacks move TOGETHER: a no-EMA checkpoint that falls back
+    # to raw params must also fall back to raw batch_stats, or every BN
+    # folds with missing/empty running stats (same rule as the export CLI's
+    # torch_state_dict path).
+    use = use_ema and bool(ckpt.get("ema_params"))
+    params = ckpt["ema_params"] if use else ckpt["params"]
+    stats = (ckpt.get("ema_batch_stats") if use
+             else ckpt.get("batch_stats", {})) or {}
     fused = fuse_conv_bn(params, stats)
     meta = ckpt.get("meta", {})
     if meta.get("mean") and meta.get("std"):

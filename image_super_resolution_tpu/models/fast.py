@@ -42,7 +42,7 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ..ops.activations import ActSpec, apply_act
+from ..ops.activations import ActSpec
 from ..ops.conv import ConvBlock
 from ..ops.pixel_shuffle import pixel_shuffle, pixel_unshuffle
 

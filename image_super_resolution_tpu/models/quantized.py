@@ -297,5 +297,10 @@ def quantize_deployed(deployed, calib_u8_batches) -> Int8DeployedFast:
     scales = calibrate_scales(params32, batches, spec.depth, spec.add_rate,
                               spec.output_scale,
                               downshuffle=getattr(spec, "downshuffle", 1) or 1)
-    qtree = quantize_fast_params(params32, scales, spec.depth)
+    # Quantization is host-side numpy work: fetch the whole tree in ONE
+    # device_get (a per-site np.asarray inside quantize_fast_params would
+    # pay 2*depth+1 relay round trips), then commit the finished int8 tree
+    # back to the device once so serving never re-uploads numpy per call.
+    qtree = quantize_fast_params(jax.device_get(params32), scales, spec.depth)
+    qtree = jax.tree_util.tree_map(jnp.asarray, qtree)
     return Int8DeployedFast(spec, qtree)

@@ -525,3 +525,50 @@ def test_tiling_fuzz_shapes():
         out = upscale_tiled(deployed, image, window=window, overlap=overlap,
                             batch_size=batch)
         assert out.shape == (2 * h, 2 * w, 3), (h, w, window, overlap, batch)
+
+
+def test_build_deployed_no_ema_checkpoint_folds_real_bn_stats():
+    """EMA fallbacks move together: a checkpoint with only params +
+    batch_stats (no EMA) must fold its REAL running stats under the
+    default use_ema=True, not crash or fold empty stats."""
+    spec = DeploySpec(family="sr", depth=1, width=8, scale=2)
+    model = SRGenerator(depth=1, width=8, scale=2, dtype=jnp.float32)
+    rng = np.random.default_rng(9)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))
+    # perturb the BN running stats away from init so folding them matters
+    stats = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a) + jnp.asarray(
+            rng.uniform(0.1, 0.5, a.shape), a.dtype),
+        v["batch_stats"],
+    )
+    ckpt = {"params": jax.device_get(v["params"]),
+            "batch_stats": jax.device_get(stats), "meta": {}}
+    deployed, _ = build_deployed(ckpt, spec, use_ema=True, dtype=jnp.float32)
+    u8 = jnp.asarray(rng.integers(0, 255, (1, 8, 8, 3), dtype=np.uint8))
+    got = np.asarray(deployed(u8))
+    # ground truth: run the UNFUSED model with those stats
+    want_tanh = model.apply(
+        {"params": v["params"], "batch_stats": stats},
+        __import__("image_super_resolution_tpu.data.transforms",
+                   fromlist=["normalize"]).normalize(
+            u8, spec.mean, spec.std),
+    )
+    from image_super_resolution_tpu.data.transforms import tanh_to_uint8
+
+    want = np.asarray(tanh_to_uint8(want_tanh))
+    assert np.max(np.abs(got.astype(int) - want.astype(int))) <= 1
+
+
+def test_engine_rejects_bad_overlap_geometry_at_construction():
+    """overlap >= window/2 (and negative overlap) must fail when the engine
+    is built — folder-batch mode would otherwise downgrade the plan_tiles
+    error to a per-image 'skipping' warning."""
+    from image_super_resolution_tpu.infer.engine import TiledUpscaler
+
+    deployed = small_deployed(scale=2)
+    with pytest.raises(ValueError, match="overlap"):
+        TiledUpscaler(deployed, window=16, overlap=8)
+    with pytest.raises(ValueError, match="overlap"):
+        TiledUpscaler(deployed, window=16, overlap=-1)
+    TiledUpscaler(deployed, window=16, overlap=7)  # fine
+    TiledUpscaler(deployed, window=0, overlap=8)   # whole-image: no window
