@@ -533,10 +533,12 @@ def test_cli_fast_family_rejects_enchant(tmp_path):
                     "--work_dir", str(tmp_path)])
 
 
-def test_cli_fast_family_rejects_denoise(tmp_path):
-    """--family fast must not silently change the denoiser depth preset."""
-    with pytest.raises(SystemExit, match="denoise"):
-        train_main(["--family", "fast", "--train_denoise",
+def test_cli_fast_family_enchant_still_rejected(tmp_path):
+    """--family fast + --train_denoise is a real mode now (denoise_fast,
+    test_cli_denoise_fast_phase); the remaining invalid combination is
+    --enchant, which is a reference-topology variant."""
+    with pytest.raises(SystemExit, match="enchant"):
+        train_main(["--family", "fast", "--enchant", "--resnet",
                     "--work_dir", str(tmp_path)])
 
 
