@@ -66,4 +66,21 @@ import json as _json
 res = ev(["--model", str(art), "--val_json", str(ws / "val.json"),
           "--shape", "64", "--batch_size", "2"])
 assert all(np.isfinite(res[k]) for k in ("psnr", "psnr_y", "ssim"))
+
+# denoise_fast family: train -> export (dims+downshuffle inferred) -> x1 rs
+# -> --denoise_eval, on the real chip
+tr(["--train_denoise", "--family", "fast", "--width", "8", "--save_name", "v",
+    "--train_json", str(ws / "train_images.json"), "--work_dir", str(ws),
+    "--epochs", "1", "--batch_size", "2", "--rs_deep", "1", "--shape", "48",
+    "--worker", "2", "--no_tensorboard"])
+dn_art = ws / "dn.isr"
+ex(["--checkpoint", str(ws / "denoise_v_1_0.2.ckpt"), "--out", str(dn_art),
+    "--family", "denoise_fast", "--smoke"])
+rs(["--model", str(dn_art), "--src", str(imgs / "img_1.png"),
+    "--save_dir", str(ws / "dn.png"), "--window_size", "48", "--overlap", "4",
+    "--batch_size", "2"])
+assert Image.open(ws / "dn.png").size == (80, 80)  # x1 contract
+res_dn = ev(["--model", str(dn_art), "--val_json", str(ws / "val.json"),
+             "--shape", "64", "--batch_size", "2", "--denoise_eval"])
+assert np.isfinite(res_dn["psnr_y"]) and "noisy_psnr" in res_dn
 print("VERIFY DRIVE OK", ws)
