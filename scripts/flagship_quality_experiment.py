@@ -30,7 +30,7 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def make_dataset(root: Path, n_train: int = 240, n_val: int = 8,
+def make_dataset(root: Path, n_train: int = 240, n_val: int = 24,
                  size: int = 192, shape: int = 96):
     """Sharp-edge synthetic images (rectangles, thin lines, gradients) —
     high-frequency content with real structure for x4 SR to recover. Same
