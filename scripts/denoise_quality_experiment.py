@@ -36,6 +36,11 @@ def run(argv=None):
                              "(240 imgs / batch 16 = 15 steps per epoch)")
     parser.add_argument("--downshuffle", type=int, default=2,
                         help="fast arm's sub-pixel front factor")
+    parser.add_argument("--extra_downshuffle", type=int, default=0,
+                        help="optionally train a THIRD arm at this more "
+                             "aggressive factor (e.g. 4 = quarter-res trunk, "
+                             "0.55 MFLOP/px) to map the speed/quality curve; "
+                             "it does not participate in the gate")
     parser.add_argument("--smoke", action="store_true",
                         help="mechanics check on CPU: 1 epoch, tiny nets, "
                              "tiny dataset (the gate numbers are "
@@ -79,6 +84,14 @@ def run(argv=None):
             "export": ["--family", "denoise_fast"],
         },
     }
+    if opt.extra_downshuffle:
+        arms[f"X_fast_denoiser_ds{opt.extra_downshuffle}"] = {
+            "train": ["--family", "fast",
+                      "--downshuffle", str(opt.extra_downshuffle),
+                      "--save_name", "x", *fast_dims, *common],
+            "ckpt": fast_ckpt.replace("_f_", "_x_"),
+            "export": ["--family", "denoise_fast"],
+        }
 
     results = {}
     for tag, arm in arms.items():
