@@ -103,7 +103,9 @@ def main():
     M, K, N = px, 9 * C, C
     a8 = jax.random.randint(ks[2], (2, M, K), -127, 127, jnp.int8)
     b8 = jax.random.randint(ks[3], (K, N), -127, 127, jnp.int8)
-    for tk in (576, 1152):
+    # tk must be a multiple of 128 (Pallas TPU block constraint); 384 and
+    # the full-K 1152 both divide K evenly.
+    for tk in (384, 1152):
         fn = lambda x: pallas_matmul(x, b8, tm=512, tk=tk, tn=128)
         s = timed_chain_pool(fn, a8, pick_iters(0.5))
         print(f"pallas int8 im2col GEMM (M={M}, K={K}, N={N}, tk={tk}): "
