@@ -111,6 +111,13 @@ def main(argv=None) -> None:
                 f"model was trained with downshuffle {inferred})"
             )
         downshuffle = opt.downshuffle or inferred or 2
+    refine_blocks, refine_width = 0, 32
+    if opt.family in ("fast", "denoise_fast"):
+        # the refinement tail is inferred-only: the tree states it exactly
+        # (models/deploy.infer_refine), so there is no flag to contradict
+        from ..models.deploy import infer_refine
+
+        refine_blocks, refine_width = infer_refine(ckpt.get("params", {}))
     if ckpt["meta"].get("loss"):
         print("mean loss:", float(np.mean(ckpt["meta"]["loss"])))
     spec = DeploySpec(
@@ -118,6 +125,7 @@ def main(argv=None) -> None:
         # denoise families are x1 by contract regardless of --scale
         scale=1 if opt.family.startswith("denoise") else opt.scale,
         enchant=opt.enchant, width=opt.width, downshuffle=downshuffle,
+        refine_blocks=refine_blocks, refine_width=refine_width,
     )
     deployed, fused = build_deployed(ckpt, spec, use_ema=not opt.no_ema)
     save_artifact(opt.out, deployed.spec, fused)

@@ -75,6 +75,14 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--width", type=int, default=None,
                         help="generator trunk width (default: 64 for sr, "
                              "128 for fast)")
+    parser.add_argument("--refine_blocks", type=int, default=0,
+                        help="fast family only: full-resolution refinement "
+                             "tail — k narrow residual blocks AFTER the "
+                             "sub-pixel shuffle (models/fast.py; the "
+                             "quality lever for the downshuffled denoiser, "
+                             "PERF.md). 0 = the born-folded tail")
+    parser.add_argument("--refine_width", type=int, default=32,
+                        help="channel width of the refinement blocks")
     parser.add_argument("--train_json", type=str, default="./train_images.json")
     parser.add_argument("--vgg_weights", type=str, default=None,
                         help="VGG19 ImageNet weights for the perceptual loss: "
@@ -148,6 +156,14 @@ def run_training(opt) -> None:
         )
     if opt.downshuffle is not None and opt.downshuffle < 1:
         raise SystemExit(f"--downshuffle must be >= 1, got {opt.downshuffle}")
+    if opt.refine_blocks and opt.family != "fast":
+        raise SystemExit(
+            "--refine_blocks applies to the fast family only "
+            "(--family fast; models/fast.py refinement tail)"
+        )
+    if opt.refine_blocks < 0:
+        raise SystemExit(
+            f"--refine_blocks must be >= 0, got {opt.refine_blocks}")
 
     work_dir = Path(opt.work_dir)
     work_dir.mkdir(parents=True, exist_ok=True)
@@ -230,6 +246,8 @@ def run_training(opt) -> None:
 
             return FastSRGenerator(depth=opt.rs_deep, add_rate=opt.add_rate,
                                    scale=opt.scale, width=opt.width,
+                                   refine_blocks=opt.refine_blocks,
+                                   refine_width=opt.refine_width,
                                    remat=opt.remat)
         return SRGenerator(depth=opt.rs_deep, add_rate=opt.add_rate,
                            scale=opt.scale, enchant=opt.enchant,
@@ -244,6 +262,8 @@ def run_training(opt) -> None:
             model = FastDenoiser(depth=opt.rs_deep, add_rate=opt.add_rate,
                                  width=opt.width,
                                  downshuffle=opt.downshuffle or 2,
+                                 refine_blocks=opt.refine_blocks,
+                                 refine_width=opt.refine_width,
                                  remat=opt.remat)
         else:
             model = Denoiser(depth=opt.rs_deep)

@@ -91,6 +91,21 @@ def infer_downshuffle(params) -> int | None:
     return f if 3 * f * f == cin else None
 
 
+def infer_refine(params) -> Tuple[int, int]:
+    """(refine_blocks, refine_width) read from a fast-family checkpoint.
+
+    The refinement tail (models/fast.py) leaves its own fingerprint in the
+    tree: a ``refine_proj`` conv plus ``refine0..refine{k-1}`` blocks, and a
+    tail conv whose INPUT width is the refine width. (0, 32) — the spec
+    defaults — when the tree has no refinement stage."""
+    if not isinstance(params, dict) or "refine_proj" not in params:
+        return 0, 32
+    blocks = sum(1 for k in params
+                 if str(k).startswith("refine") and str(k)[6:].isdigit())
+    width = int(params["tail"]["conv"]["kernel"].shape[2])
+    return blocks, width
+
+
 @dataclass(frozen=True)
 class DeploySpec:
     """Everything needed to rebuild the inference graph."""
@@ -105,6 +120,11 @@ class DeploySpec:
     std: Tuple[float, float, float] = IMAGENET_STD
     hidden: int = 0  # denoise_legacy residual bottleneck width (0 = 32)
     downshuffle: int = 1  # fast-family sub-pixel front factor (denoise_fast: 2)
+    # fast-family full-res refinement tail (models/fast.py): block count and
+    # width. 0 blocks = the born-folded tail (every artifact before the
+    # field existed); old .isr files deserialize to these defaults.
+    refine_blocks: int = 0
+    refine_width: int = 32
 
     def build_model(self, dtype=jnp.bfloat16):
         if self.family == "denoise":
@@ -131,6 +151,8 @@ class DeploySpec:
                 # export CLI infers the real factor from the checkpoint's
                 # head conv, so artifacts always carry an explicit value)
                 downshuffle=self.downshuffle or 1,
+                refine_blocks=self.refine_blocks or 0,
+                refine_width=self.refine_width or 32,
                 fused=True, dtype=dtype,
             )
         return SRGenerator(

@@ -82,6 +82,19 @@ class FastSRGenerator(nn.Module):
     scale: int = 4
     width: int = 128
     downshuffle: int = 1  # run the trunk at 1/downshuffle resolution
+    # Full-resolution refinement stage (measured quality lever for the
+    # downshuffled denoiser, PERF.md): the half-res trunk hands every output
+    # pixel only width/f^2 effective features at reconstruction (128/4 = 32
+    # vs the reference denoiser's 64 at full res), which caps fidelity at
+    # x1 where the mapping is near-identity. With ``refine_blocks`` > 0 the
+    # tail becomes: project width -> refine_width*(scale*f)^2 at trunk
+    # resolution, ONE shuffle to full output resolution, ``refine_blocks``
+    # narrow full-res residual blocks, then a 3-channel tanh conv. The
+    # refine convs are narrow (25% MXU lanes at width 32) but cost ~2% of
+    # the model's FLOPs — full-res neighborhood processing where the noise
+    # statistics actually live, at near-zero throughput cost.
+    refine_blocks: int = 0
+    refine_width: int = 32
     fused: bool = False  # no-op: the graph is BN-free by construction
     remat: bool = False  # rematerialize each block's activations in backward
     dtype: Any = jnp.bfloat16
@@ -93,6 +106,12 @@ class FastSRGenerator(nn.Module):
             raise ValueError(f"scale must be in (1, 2, 4, 8), got {self.scale}")
         if self.downshuffle < 1:
             raise ValueError(f"downshuffle must be >= 1, got {self.downshuffle}")
+        if self.refine_blocks < 0:
+            raise ValueError(
+                f"refine_blocks must be >= 0, got {self.refine_blocks}")
+        if self.refine_blocks and self.refine_width < 1:
+            raise ValueError(
+                f"refine_width must be >= 1, got {self.refine_width}")
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         x = x.astype(self.dtype)
         # Sub-pixel front (``downshuffle`` f > 1): edge-pad H/W to multiples
@@ -123,14 +142,29 @@ class FastSRGenerator(nn.Module):
         h = ConvBlock(self.width, 3, act=None, use_bn=False,
                       name="trunk_conv", **kw)(h, train)
         x = x + h  # global residual, same role as SRGenerator's
-        # Born-folded tail: project to 3*(scale*f)^2 channels at trunk
-        # resolution, tanh BEFORE the shuffle (elementwise ops commute with
-        # depth_to_space), one shuffle straight to the output scale.
         r = self.scale * f
-        x = ConvBlock(3 * r ** 2, 3, act="tanh", use_bn=False,
-                      name="tail", **kw)(x, train)
-        if r > 1:
-            x = pixel_shuffle(x, r)
+        if self.refine_blocks:
+            # Full-res refinement tail (see field docstring): one shuffle to
+            # output resolution with refine_width live channels, narrow
+            # residual blocks there, then the 3-channel tanh conv.
+            x = ConvBlock(self.refine_width * r ** 2, 3,
+                          act=("leaky_relu", 0.01), use_bn=False,
+                          name="refine_proj", **kw)(x, train)
+            if r > 1:
+                x = pixel_shuffle(x, r)
+            for i in range(self.refine_blocks):
+                x = block_cls(self.refine_width, ("leaky_relu", 0.01),
+                              self.add_rate, name=f"refine{i}", **kw)(x, train)
+            x = ConvBlock(3, 3, act="tanh", use_bn=False,
+                          name="tail", **kw)(x, train)
+        else:
+            # Born-folded tail: project to 3*(scale*f)^2 channels at trunk
+            # resolution, tanh BEFORE the shuffle (elementwise ops commute
+            # with depth_to_space), one shuffle straight to the output scale.
+            x = ConvBlock(3 * r ** 2, 3, act="tanh", use_bn=False,
+                          name="tail", **kw)(x, train)
+            if r > 1:
+                x = pixel_shuffle(x, r)
         if pad_h or pad_w:  # undo the front padding at output scale
             x = x[:, : h_in * self.scale, : w_in * self.scale, :]
         return x.astype(jnp.float32)

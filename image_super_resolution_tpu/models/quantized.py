@@ -95,6 +95,7 @@ def fast_forward(
     record: Optional[Callable[[str, jnp.ndarray], None]] = None,
     quant: Optional[Callable[[str, jnp.ndarray], jnp.ndarray]] = None,
     downshuffle: int = 1,
+    refine_blocks: int = 0,
 ) -> jnp.ndarray:
     """models/fast.py FastSRGenerator forward, reimplemented functionally.
 
@@ -137,10 +138,24 @@ def fast_forward(
         h = h + t.astype(stream_dtype) * jnp.asarray(add_rate, stream_dtype)
     t = site_conv("trunk_conv", h, act=False)
     x = x + t.astype(stream_dtype)
-    x = jnp.tanh(_bf16_conv_act(x, params["tail"], act=False))
     r = scale * f
-    if r > 1:
-        x = pixel_shuffle(x, r)
+    if refine_blocks:
+        # Full-res refinement tail (models/fast.py): stays bf16/unquantized
+        # like the born-folded tail — it is output-facing and ~2% of FLOPs.
+        x = _bf16_conv_act(x.astype(jnp.bfloat16), params["refine_proj"],
+                           act=True)
+        if r > 1:
+            x = pixel_shuffle(x, r)
+        for i in range(refine_blocks):
+            p = params[f"refine{i}"]
+            t = _bf16_conv_act(x, p["conv0"], act=True)
+            t = _bf16_conv_act(t, p["conv1"], act=False)
+            x = x + t * jnp.asarray(add_rate, t.dtype)
+        x = jnp.tanh(_bf16_conv_act(x, params["tail"], act=False))
+    else:
+        x = jnp.tanh(_bf16_conv_act(x, params["tail"], act=False))
+        if r > 1:
+            x = pixel_shuffle(x, r)
     if pad_h or pad_w:
         x = x[:, : h_in * scale, : w_in * scale, :]
     return x.astype(jnp.float32)
@@ -156,6 +171,7 @@ def calibrate_scales(
     add_rate: float,
     scale: int,
     downshuffle: int = 1,
+    refine_blocks: int = 0,
 ) -> Dict[str, float]:
     """Static per-tensor activation scales: running max|x| over the
     calibration batches at every quantized conv input, / 127.
@@ -172,7 +188,7 @@ def calibrate_scales(
             seen[site] = jnp.max(jnp.abs(t.astype(jnp.float32)))
 
         fast_forward(params, x, depth, add_rate, scale, record=record,
-                     downshuffle=downshuffle)
+                     downshuffle=downshuffle, refine_blocks=refine_blocks)
         return seen
 
     for x in batches:
@@ -196,9 +212,12 @@ def quantize_fast_params(
 
     Per site: int8 kernel ``w_q``, fp32 ``deq`` = act_scale * per-channel
     weight scale (the single fused dequant multiplier for the int32 conv
-    output), fp32 bias. Head/tail params pass through untouched (bf16
-    compute path)."""
+    output), fp32 bias. Head/tail params — and the full-res refinement tail
+    when present — pass through untouched (bf16 compute path)."""
     q: Dict[str, Any] = {"head": params["head"], "tail": params["tail"]}
+    for k in params:
+        if str(k).startswith("refine"):
+            q[k] = params[k]
     for site in trunk_sites(depth):
         p = _site_params(params, site)
         w = np.asarray(p["conv"]["kernel"], np.float32)  # HWIO
@@ -221,6 +240,7 @@ def int8_forward(
     add_rate: float,
     scale: int,
     downshuffle: int = 1,
+    refine_blocks: int = 0,
 ) -> jnp.ndarray:
     """Serving forward with the trunk convs in int8 (int32 accumulation)."""
 
@@ -236,7 +256,7 @@ def int8_forward(
         return y
 
     return fast_forward(qparams, x, depth, add_rate, scale, quant=quant,
-                        downshuffle=downshuffle)
+                        downshuffle=downshuffle, refine_blocks=refine_blocks)
 
 
 # ------------------------------------------------------------- deployment --
@@ -257,11 +277,13 @@ class Int8DeployedFast:
         depth, add_rate = self.spec.depth, self.spec.add_rate
         scale = self.spec.output_scale  # 1 for denoise_fast
         downshuffle = getattr(self.spec, "downshuffle", 1) or 1
+        refine_blocks = getattr(self.spec, "refine_blocks", 0) or 0
 
         def apply(params, u8):
             x = normalize(u8, mean, std)
             y = int8_forward(params, x, depth, add_rate, scale,
-                             downshuffle=downshuffle)
+                             downshuffle=downshuffle,
+                             refine_blocks=refine_blocks)
             return tanh_to_uint8(y)
 
         self._apply = jax.jit(apply)
@@ -296,7 +318,9 @@ def quantize_deployed(deployed, calib_u8_batches) -> Int8DeployedFast:
     batches = [normalize(jnp.asarray(b), mean, std) for b in calib_u8_batches]
     scales = calibrate_scales(params32, batches, spec.depth, spec.add_rate,
                               spec.output_scale,
-                              downshuffle=getattr(spec, "downshuffle", 1) or 1)
+                              downshuffle=getattr(spec, "downshuffle", 1) or 1,
+                              refine_blocks=getattr(spec, "refine_blocks", 0)
+                              or 0)
     # Quantization is host-side numpy work: fetch the whole tree in ONE
     # device_get (a per-site np.asarray inside quantize_fast_params would
     # pay 2*depth+1 relay round trips), then commit the finished int8 tree

@@ -45,6 +45,13 @@ def run(argv=None):
                         help="mechanics check on CPU: 1 epoch, tiny nets, "
                              "tiny dataset (the gate numbers are "
                              "meaningless in this mode)")
+    parser.add_argument("--resume", action="store_true",
+                        help="extend an existing workdir to a LARGER "
+                             "--epochs budget instead of starting over: "
+                             "keeps the dataset, resumes every arm's "
+                             "checkpoint (the CLI's --resume path), and "
+                             "re-runs export+eval. Equal budget still holds "
+                             "— every arm ends at the same total epochs.")
     opt = parser.parse_args(argv)
 
     from image_super_resolution_tpu.cli.evaluate import main as ev
@@ -52,19 +59,26 @@ def run(argv=None):
     from image_super_resolution_tpu.cli.train import main as tr
 
     ws = Path(opt.workdir)
-    if ws.exists():
-        shutil.rmtree(ws)
-    ws.mkdir(parents=True)
+    if opt.resume:
+        if not ws.exists():
+            raise SystemExit(f"--resume: no existing workdir at {ws}")
+    else:
+        if ws.exists():
+            shutil.rmtree(ws)
+        ws.mkdir(parents=True)
+        if opt.smoke:
+            make_dataset(ws, n_train=8, n_val=2)
+        else:
+            make_dataset(ws)
     if opt.smoke:
         opt.epochs = 1
-        make_dataset(ws, n_train=8, n_val=2)
-    else:
-        make_dataset(ws)
     common = ["--train_denoise", "--shape", "96",
               "--batch_size", "2" if opt.smoke else "16",
               "--epochs", str(opt.epochs), "--ckpt_every", "25",
               "--seed", "100", "--train_json", str(ws / "train_images.json"),
               "--no_tensorboard", "--worker", "4"]
+    if opt.resume:
+        common.append("--resume")
     ref_dims = ["--rs_deep", "2"] if opt.smoke else []
     fast_dims = ["--rs_deep", "1", "--width", "8"] if opt.smoke else []
     ref_ckpt = "denoise_r_2_0.2.ckpt" if opt.smoke else "denoise_r_16_0.2.ckpt"
@@ -96,7 +110,7 @@ def run(argv=None):
     results = {}
     for tag, arm in arms.items():
         wd = ws / tag
-        wd.mkdir()
+        wd.mkdir(exist_ok=opt.resume)
         tr(["--work_dir", str(wd), *arm["train"]])
         art = ws / f"{tag}.isr"
         ex(["--checkpoint", str(wd / arm["ckpt"]), "--out", str(art),

@@ -74,6 +74,13 @@ def run(argv=None):
                              "checkpoint (tag *_gan); the pixel-phase gate "
                              "numbers are always recorded")
     parser.add_argument("--scale", type=int, default=4)
+    parser.add_argument("--resume", action="store_true",
+                        help="extend an existing workdir to a LARGER "
+                             "--epochs budget instead of starting over: "
+                             "keeps the dataset, resumes every arm's "
+                             "checkpoint (the CLI's --resume path), and "
+                             "re-runs export+eval. Equal budget still holds "
+                             "— every arm ends at the same total epochs.")
     opt = parser.parse_args(argv)
 
     from image_super_resolution_tpu.cli.evaluate import main as ev
@@ -81,15 +88,21 @@ def run(argv=None):
     from image_super_resolution_tpu.cli.train import main as tr
 
     ws = Path(opt.workdir)
-    if ws.exists():
-        shutil.rmtree(ws)
-    ws.mkdir(parents=True)
-    make_dataset(ws)
+    if opt.resume:
+        if not ws.exists():
+            raise SystemExit(f"--resume: no existing workdir at {ws}")
+    else:
+        if ws.exists():
+            shutil.rmtree(ws)
+        ws.mkdir(parents=True)
+        make_dataset(ws)
     common = ["--resnet", "--scale", str(opt.scale), "--shape", "96",
               "--batch_size", "16", "--epochs", str(opt.epochs),
               "--ckpt_every", "25", "--seed", "100",
               "--train_json", str(ws / "train_images.json"),
               "--no_tensorboard", "--worker", "4"]
+    if opt.resume:
+        common.append("--resume")
 
     arms = {
         "R_reference_topology": {
@@ -109,7 +122,7 @@ def run(argv=None):
     results = {}
     for tag, arm in arms.items():
         wd = ws / tag
-        wd.mkdir()
+        wd.mkdir(exist_ok=opt.resume)
         tr(["--work_dir", str(wd), *arm["train"]])
 
         def export_and_eval(ckpt_name, eval_tag):

@@ -300,6 +300,101 @@ def test_denoise_fast_family_helpers():
     assert spec.downshuffle == 1
 
 
+# ----------------------------------------------------- refinement tail ----
+
+
+@pytest.mark.parametrize("scale,downshuffle", [(1, 2), (2, 1), (4, 1)])
+def test_refine_forward_shape_and_range(scale, downshuffle):
+    """refine_blocks > 0 swaps the born-folded tail for full-res refinement
+    blocks; the IO contract (shape, dtype, tanh range) is unchanged."""
+    m = FastSRGenerator(depth=1, width=16, scale=scale,
+                        downshuffle=downshuffle, refine_blocks=2,
+                        refine_width=8, dtype=jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 8, 8, 3)),
+                    jnp.float32)
+    y = m.apply(v, x)
+    assert y.shape == (2, 8 * scale, 8 * scale, 3)
+    assert y.dtype == jnp.float32
+    assert float(jnp.max(jnp.abs(y))) <= 1.0
+
+
+def test_refine_param_fingerprint():
+    """infer_refine reads (blocks, width) back out of the param tree — the
+    export CLI's flag-less path — and answers the spec defaults (0, 32) for
+    refine-less trees."""
+    from image_super_resolution_tpu.models.deploy import infer_refine
+
+    m = FastSRGenerator(depth=1, width=16, scale=1, downshuffle=2,
+                        refine_blocks=3, refine_width=8)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))
+    assert infer_refine(v["params"]) == (3, 8)
+
+    plain = FastSRGenerator(depth=1, width=16, scale=2)
+    vp = plain.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))
+    assert infer_refine(vp["params"]) == (0, 32)
+    assert infer_refine({}) == (0, 32)
+
+
+def test_refine_denoiser_same_size_any_shape():
+    """x1 refine-tail denoiser keeps the any-shape contract: the front
+    edge-pad is cropped back AFTER the full-res refinement stage."""
+    from image_super_resolution_tpu.models import FastDenoiser
+
+    m = FastDenoiser(depth=1, width=16, downshuffle=2, refine_blocks=2,
+                     refine_width=8, dtype=jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(1, 7, 9, 3)),
+                    jnp.float32)
+    y = m.apply(v, x)
+    assert y.shape == (1, 7, 9, 3)
+    assert float(jnp.max(jnp.abs(y))) <= 1.0
+
+
+def test_refine_deploy_roundtrip(tmp_path):
+    """Artifact lifecycle with a refinement tail: spec carries the refine
+    fields, export-CLI inference fingerprints them, and old spec JSONs
+    (no refine keys) deserialize to the born-folded defaults."""
+    spec = DeploySpec(family="denoise_fast", depth=2, width=16, downshuffle=2,
+                      refine_blocks=2, refine_width=8)
+    model = spec.build_model(dtype=jnp.float32)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))
+    deployed = DeployedModel(spec, v["params"], dtype=jnp.float32)
+    u8 = jnp.asarray(np.random.default_rng(3).integers(
+        0, 255, (2, 9, 11, 3), dtype=np.uint8))
+    out = np.asarray(deployed(u8))
+    assert out.shape == (2, 9, 11, 3) and out.dtype == np.uint8
+
+    save_artifact(tmp_path / "rf.isr", spec, v["params"])
+    reloaded = load_artifact(tmp_path / "rf.isr", dtype=jnp.float32)
+    assert reloaded.spec.refine_blocks == 2
+    assert reloaded.spec.refine_width == 8
+    re_out = np.asarray(reloaded(u8))
+    assert np.max(np.abs(re_out.astype(int) - out.astype(int))) <= 2
+
+    import dataclasses
+    import json
+
+    d = {k: v for k, v in dataclasses.asdict(spec).items()
+         if not k.startswith("refine")}
+    old = DeploySpec(**json.loads(json.dumps(d)))
+    assert old.refine_blocks == 0 and old.refine_width == 32
+
+
+def test_refine_cli_flag_guards():
+    """--refine_blocks is a fast-family-only lever and must be >= 0."""
+    from image_super_resolution_tpu.cli.train import build_parser, run_training
+
+    parser = build_parser()
+    opt = parser.parse_args(["--resnet", "--refine_blocks", "2"])
+    with pytest.raises(SystemExit, match="fast family"):
+        run_training(opt)
+    opt = parser.parse_args(["--resnet", "--family", "fast",
+                             "--refine_blocks", "-1"])
+    with pytest.raises(SystemExit, match=">= 0"):
+        run_training(opt)
+
+
 def test_flop_budget_vs_reference():
     """The design claim behind the family: <=0.55 MFLOP per output pixel at
     the flagship preset — ~3x less than the reference topology's 1.57

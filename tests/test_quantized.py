@@ -70,6 +70,45 @@ def test_functional_mirror_bit_exact_with_downshuffle():
         np.testing.assert_array_equal(got, want)
 
 
+def test_functional_mirror_bit_exact_with_refine():
+    """The refinement tail (models/fast.py refine_blocks) must be mirrored
+    exactly too — calibration and int8 serving run through this function."""
+    from image_super_resolution_tpu.models import FastDenoiser
+
+    model = FastDenoiser(depth=2, width=16, downshuffle=2, refine_blocks=2,
+                         refine_width=8, fused=True)
+    params = model.init(jax.random.PRNGKey(6), jnp.zeros((1, 8, 8, 3)))[
+        "params"
+    ]
+    for shape in [(2, 12, 12, 3), (1, 7, 9, 3)]:
+        x = _norm_batch(7, shape)
+        want = np.asarray(model.apply({"params": params}, x))
+        got = np.asarray(
+            fast_forward(params, x, 2, ADD, 1, downshuffle=2, refine_blocks=2)
+        )
+        np.testing.assert_array_equal(got, want)
+
+
+def test_quantize_deployed_refine_uint8_parity():
+    """int8 PTQ end to end on a refine-tail artifact: the refine params pass
+    through unquantized and the uint8 outputs track the bf16 deployment."""
+    spec = DeploySpec(family="denoise_fast", depth=DEPTH, width=WIDTH,
+                      add_rate=ADD, downshuffle=2, refine_blocks=2,
+                      refine_width=8)
+    m = spec.build_model()
+    variables = m.init(jax.random.PRNGKey(8), jnp.zeros((1, 8, 8, 3)))
+    deployed = DeployedModel(spec, variables["params"])
+    rng = np.random.default_rng(13)
+    tiles = jnp.asarray(rng.integers(0, 256, (2, 17, 15, 3), np.uint8))
+    q = quantize_deployed(deployed, [tiles])
+    got = np.asarray(q(tiles)).astype(np.int32)
+    want = np.asarray(deployed(tiles)).astype(np.int32)
+    assert got.shape == want.shape == (2, 17, 15, 3)
+    diff = np.abs(got - want)
+    assert float(diff.mean()) < 1.0
+    assert int(diff.max()) <= 8
+
+
 def test_quantize_deployed_denoise_fast_uint8_parity():
     spec = DeploySpec(family="denoise_fast", depth=DEPTH, width=WIDTH,
                       add_rate=ADD, downshuffle=2)
