@@ -74,6 +74,8 @@ def bench(
     k_short: int = 1,
     k_long: int = 6,
     int8: bool = False,
+    refine_blocks: int = 0,
+    refine_width: int = 64,
 ) -> dict:
     import jax
     import jax.numpy as jnp
@@ -85,6 +87,7 @@ def bench(
         family=family, depth=depth, width=width,
         scale=1 if denoise else scale,
         downshuffle=2 if family == "denoise_fast" else 1,
+        refine_blocks=refine_blocks, refine_width=refine_width,
     )
     scale = spec.output_scale
     model = spec.build_model()
@@ -104,7 +107,9 @@ def bench(
         deployed = quantize_deployed(deployed, [xs[0]])
     print(
         f"bench config: {family} depth={depth} width={width} x{scale}, "
-        f"batch={batch}, tile={tile}, int8={int8}, device={jax.devices()[0]}",
+        f"batch={batch}, tile={tile}, int8={int8}, "
+        f"refine={refine_blocks}x{refine_width if refine_blocks else 0}, "
+        f"device={jax.devices()[0]}",
         file=sys.stderr,
     )
     t_short = _timed_chain(deployed, xs, k_short)
@@ -146,6 +151,12 @@ if __name__ == "__main__":
                         help="bench the fast family's int8 PTQ trunk "
                              "(models/quantized.py); errors on families "
                              "whose shapes measured int8-dead")
+    parser.add_argument("--refine_blocks", type=int, default=0,
+                        help="fast families: bench with the full-res "
+                             "refinement tail (models/fast.py) — the "
+                             "quality-gated denoise_fast configuration "
+                             "(PERF.md)")
+    parser.add_argument("--refine_width", type=int, default=64)
     opt = parser.parse_args()
 
     from image_super_resolution_tpu.models.deploy import family_defaults
@@ -155,7 +166,9 @@ if __name__ == "__main__":
         tile = opt.tile if opt.tile is not None else (
             96 if opt.family.startswith("denoise") else 24)
         result = bench(family=opt.family, depth=depth, width=width,
-                       batch=opt.batch, tile=tile, int8=opt.int8)
+                       batch=opt.batch, tile=tile, int8=opt.int8,
+                       refine_blocks=opt.refine_blocks,
+                       refine_width=opt.refine_width)
     else:
         # Headline = the TPU-first flagship (quality-gated vs the reference
         # topology in PERF.md); the reference-topology number follows on

@@ -141,7 +141,7 @@ def fast_forward(
     r = scale * f
     if refine_blocks:
         # Full-res refinement tail (models/fast.py): stays bf16/unquantized
-        # like the born-folded tail — it is output-facing and ~2% of FLOPs.
+        # like the born-folded tail — it is output-facing and a small share of FLOPs.
         x = _bf16_conv_act(x.astype(jnp.bfloat16), params["refine_proj"],
                            act=True)
         if r > 1:

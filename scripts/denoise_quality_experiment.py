@@ -11,8 +11,13 @@ chain: gauss + ISO noise + JPEG, fixed seed). Gate: fast PSNR-Y >= reference
 PSNR-Y. The fast arm's int8 PTQ cost is measured on the same protocol.
 Results recorded in PERF.md.
 
+Optional arms: --extra_downshuffle 4 maps the speed/quality dose-response;
+--refine_blocks 2 [--refine_width 64] trains the full-res refinement-tail
+variant (models/fast.py) that answers the plain arm's measured gate failure
+— when present, the refine arm carries the gate.
+
 Usage: python scripts/denoise_quality_experiment.py [--workdir DIR]
-       [--epochs N]
+       [--epochs N] [--resume] [--refine_blocks K]
 """
 
 from __future__ import annotations
@@ -41,6 +46,14 @@ def run(argv=None):
                              "aggressive factor (e.g. 4 = quarter-res trunk, "
                              "0.55 MFLOP/px) to map the speed/quality curve; "
                              "it does not participate in the gate")
+    parser.add_argument("--refine_blocks", type=int, default=0,
+                        help="optionally train an N arm: the fast denoiser "
+                             "with a full-res refinement tail (models/fast.py "
+                             "refine_blocks) — the measured response to the "
+                             "plain downshuffled arm's gate failure "
+                             "(PERF.md). When set, the family gate is judged "
+                             "on this arm.")
+    parser.add_argument("--refine_width", type=int, default=64)
     parser.add_argument("--smoke", action="store_true",
                         help="mechanics check on CPU: 1 epoch, tiny nets, "
                              "tiny dataset (the gate numbers are "
@@ -106,6 +119,16 @@ def run(argv=None):
             "ckpt": fast_ckpt.replace("_f_", "_x_"),
             "export": ["--family", "denoise_fast"],
         }
+    if opt.refine_blocks:
+        arms["N_fast_denoiser_refine"] = {
+            "train": ["--family", "fast",
+                      "--downshuffle", str(opt.downshuffle),
+                      "--refine_blocks", str(opt.refine_blocks),
+                      "--refine_width", str(opt.refine_width),
+                      "--save_name", "n", *fast_dims, *common],
+            "ckpt": fast_ckpt.replace("_f_", "_n_"),
+            "export": ["--family", "denoise_fast"],
+        }
 
     results = {}
     for tag, arm in arms.items():
@@ -134,6 +157,18 @@ def run(argv=None):
         ),
         "noisy_input_psnr_y": r["noisy_psnr_y"],
     }
+    if opt.refine_blocks:
+        # The refine arm is the family's answer to the plain arm's failure
+        # (PERF.md): when trained, IT carries the gate.
+        n = results["N_fast_denoiser_refine"]
+        results["gate"].update({
+            "psnr_y_delta_refine_minus_ref": round(
+                n["psnr_y"] - r["psnr_y"], 3),
+            "passed": bool(n["psnr_y"] >= r["psnr_y"]),
+            "refine_int8_ptq_psnr_y_cost": round(
+                n["psnr_y"]
+                - results["N_fast_denoiser_refine_int8"]["psnr_y"], 3),
+        })
     print(json.dumps(results, indent=2))
     (ws / "results.json").write_text(json.dumps(results, indent=2))
     return results
