@@ -90,9 +90,11 @@ class FastSRGenerator(nn.Module):
     # tail becomes: project width -> refine_width*(scale*f)^2 at trunk
     # resolution, ONE shuffle to full output resolution, ``refine_blocks``
     # narrow full-res residual blocks, then a 3-channel tanh conv. The
-    # refine convs are narrow (25% MXU lanes at width 32) but cost ~2% of
-    # the model's FLOPs — full-res neighborhood processing where the noise
-    # statistics actually live, at near-zero throughput cost.
+    # refine convs run below full lane utilization and full-res convs are
+    # never cheap (~20% of model FLOPs at the gate-passing
+    # refine_blocks=2/refine_width=64 config; measured cost in PERF.md) —
+    # but they put neighborhood processing where the noise statistics
+    # actually live, which is what passes the x1 quality gate.
     refine_blocks: int = 0
     refine_width: int = 32
     fused: bool = False  # no-op: the graph is BN-free by construction
