@@ -24,6 +24,14 @@ def main(argv=None):
     parser.add_argument("--epochs", type=int, default=4)
     parser.add_argument("--n_images", type=int, default=256)
     parser.add_argument("--size", type=int, default=512)
+    parser.add_argument("--family", type=str, default="sr",
+                        choices=["sr", "fast"],
+                        help="generator family for both phases: the "
+                             "reference topology (16-RRDB) or the TPU-first "
+                             "flagship (models/fast.py) at its shipped "
+                             "preset — measures the training-side win of "
+                             "the MXU-aligned trunk")
+    parser.add_argument("--scale", type=int, default=2)
     parser.add_argument("--gan", action="store_true", help="also run the SRGAN phase")
     parser.add_argument("--backend", type=str, default="auto",
                         choices=["auto", "native", "python"])
@@ -42,11 +50,12 @@ def main(argv=None):
         Image.fromarray(img).save(ws / "train" / f"i{i}.jpg", quality=92)
     cj(["--train_dirs", str(ws / "train"), "--shape", "96", "--output", str(ws)])
 
+    family = [] if opt.family == "sr" else ["--family", "fast"]
     common = [
         "--train_json", str(ws / "train_images.json"), "--work_dir", str(ws),
-        "--scale", "2", "--rs_deep", "16", "--batch_size", "16", "--shape", "96",
+        "--scale", str(opt.scale), "--batch_size", "16", "--shape", "96",
         "--epochs", str(opt.epochs), "--no_tensorboard", "--ckpt_every", "100",
-        "--loader_backend", opt.backend, "--worker", "4",
+        "--loader_backend", opt.backend, "--worker", "4", *family,
     ]
     print("== pixel phase ==", flush=True)
     tr(["--resnet", *common])
