@@ -177,7 +177,9 @@ if __name__ == "__main__":
         tile = opt.tile if opt.tile is not None else 24
         depth, width = family_defaults("fast")
         result = bench(family="fast", depth=depth, width=width,
-                       batch=opt.batch, tile=tile, int8=opt.int8)
+                       batch=opt.batch, tile=tile, int8=opt.int8,
+                       refine_blocks=opt.refine_blocks,
+                       refine_width=opt.refine_width)
         depth, width = family_defaults("sr")
         ref = bench(family="sr", depth=depth, width=width,
                     batch=opt.batch, tile=tile)

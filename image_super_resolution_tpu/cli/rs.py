@@ -177,9 +177,14 @@ def run(
             raise SystemExit(
                 f"--tp_devices {n_tp}: only {len(local)} local devices"
             )
-        deployed = TPFastUpscaler(
-            deployed, make_mesh(n_data=1, n_tile=n_tp, devices=local)
-        )
+        try:
+            deployed = TPFastUpscaler(
+                deployed, make_mesh(n_data=1, n_tile=n_tp, devices=local)
+            )
+        except ValueError as e:
+            # wrapper-level validation (family/downshuffle/refine/width
+            # divisibility) -> the same clean one-line exit as the CLI guards
+            raise SystemExit(str(e))
     try:
         engine = TiledUpscaler(
             deployed,

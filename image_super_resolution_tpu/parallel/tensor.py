@@ -88,10 +88,6 @@ def _conv_same(x, k, b=None):
     return y if b is None else y + b
 
 
-def _lrelu(x, slope=0.01):
-    return jnp.where(x >= 0, x, x * jnp.asarray(slope, x.dtype))
-
-
 def tp_fast_param_specs(depth: int, axis: str = TILE_AXIS) -> Dict[str, Any]:
     """PartitionSpec tree for FastSRGenerator params under TP.
 
@@ -139,6 +135,15 @@ class TPFastUpscaler:
                 "sub-pixel front; serve downshuffle artifacts via "
                 "data_devices"
             )
+        if getattr(spec, "refine_blocks", 0):
+            # likewise no full-res refinement tail here: the param tree
+            # would not match tp_fast_param_specs and the forward would
+            # silently skip the refinement stage
+            raise ValueError(
+                "tensor parallelism does not implement the full-res "
+                "refinement tail (refine_blocks > 0); serve refine "
+                "artifacts via data_devices"
+            )
         n = int(mesh.shape[axis])
         if spec.width % n:
             raise ValueError(
@@ -176,12 +181,14 @@ class TPFastUpscaler:
             )
             x = normalize(u8, mean, std).astype(dtype_)
             hc = cast(p["head"]["conv"])
-            x = _lrelu(_conv_same(x, hc["kernel"], hc["bias"]))
+            x = jax.nn.leaky_relu(_conv_same(x, hc["kernel"], hc["bias"]),
+                                  negative_slope=0.01)
             h = x
             for i in range(depth):
                 c0 = cast(p[f"block{i}"]["conv0"]["conv"])
                 c1 = cast(p[f"block{i}"]["conv1"]["conv"])
-                t = _lrelu(_conv_same(h, c0["kernel"], c0["bias"]))
+                t = jax.nn.leaky_relu(_conv_same(h, c0["kernel"], c0["bias"]),
+                                      negative_slope=0.01)
                 t = _conv_same(t, c1["kernel"])  # partial over C_in shard
                 t = jax.lax.psum(t, axis) + c1["bias"]
                 h = h + t * jnp.asarray(add_rate, t.dtype)

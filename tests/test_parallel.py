@@ -67,6 +67,19 @@ def test_tp_rejects_sr_family_and_bad_width():
         TPFastUpscaler(_deployed(width=12), make_mesh(n_data=1, n_tile=8))
 
 
+def test_tp_rejects_refine_artifacts():
+    """A refine-tail fast artifact must get a clean rejection, not a pytree
+    structure mismatch from tp_fast_param_specs (the wrapper's forward has
+    no refinement stage)."""
+    spec = DeploySpec(family="fast", depth=1, width=8, scale=2,
+                      refine_blocks=2, refine_width=8)
+    m = spec.build_model(dtype=jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))
+    dep = DeployedModel(spec, v["params"], dtype=jnp.float32)
+    with pytest.raises(ValueError, match="refine"):
+        TPFastUpscaler(dep, make_mesh(n_data=1, n_tile=2))
+
+
 def test_tp_param_specs_cover_param_tree():
     """The spec tree must mirror the fused param tree leaf-for-leaf (a
     missing entry would silently replicate a kernel that should be
