@@ -72,10 +72,11 @@ def build_parser() -> argparse.ArgumentParser:
                              "counterpart of train.py --profile_dir")
     parser.add_argument("--codec", type=str, default=None,
                         help="ffmpeg video encoder (e.g. libx264, hevc_nvenc, "
-                             "hevc_vaapi); default libx264. Replaces the "
-                             "reference's platform-probed GPU encoder pick "
-                             "(utils/ffmpeg.py:45-52) — TPU hosts have no GPU, "
-                             "so the choice is explicit instead")
+                             "hevc_vaapi). Default 'auto': probe the "
+                             "reference's hardware-encoder candidates "
+                             "(utils/ffmpeg.py:45-52) functionally — first "
+                             "one that encodes a test frame wins — falling "
+                             "back to libx264; pass a name to pin one")
     return parser
 
 

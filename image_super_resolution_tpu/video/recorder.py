@@ -6,11 +6,15 @@ Same surface as the reference's ``FFMPEG_recorder`` (utils/ffmpeg.py:28-141):
 ``add_subtitle`` — plus snake_case being the native spelling and the
 reference camelCase kept as aliases.
 
-Backend selection replaces the reference's GPU-vendor probing (hevc_nvenc /
-hevc_amf / hevc_vaapi, ffmpeg.py:45-52) — irrelevant on TPU hosts — with:
-ffmpeg subprocess pipe when the binary exists (libx265 -> libx264 fallback),
-else OpenCV's VideoWriter (mp4v), else a clear error. Bitrate law preserved:
-20 Mbps scaled by megapixels/(3840*2160) and fps/30 (ffmpeg.py:59-61).
+Backend selection generalizes the reference's GPU-vendor table (hevc_nvenc /
+hevc_amf / hevc_vaapi picked via pyadl/torch.cuda, ffmpeg.py:45-52): by
+default the same hardware HEVC encoders are probed FUNCTIONALLY (listed in
+``ffmpeg -encoders`` AND able to encode one test frame — vendor tables lie on
+headless TPU hosts, a one-frame encode does not), falling back to libx264
+exactly like the reference's else-branch; pass ``codec=`` to pin one. When no
+ffmpeg binary exists, OpenCV's VideoWriter (mp4v); else a clear error.
+Bitrate law preserved: 20 Mbps scaled by megapixels/(3840*2160) and fps/30
+(ffmpeg.py:59-61).
 """
 
 from __future__ import annotations
@@ -26,6 +30,51 @@ import numpy as np
 
 def _ffmpeg_exe() -> Optional[str]:
     return shutil.which("ffmpeg")
+
+
+# The reference's hardware-encoder preference order (utils/ffmpeg.py:45-52).
+_HW_ENCODER_CANDIDATES = ("hevc_nvenc", "hevc_amf", "hevc_vaapi")
+_probe_cache: dict = {}
+
+
+def probe_encoder(exe: str) -> str:
+    """Pick the best available video encoder for this host.
+
+    The first candidate from ``_HW_ENCODER_CANDIDATES`` that both appears in
+    ``ffmpeg -encoders`` and successfully encodes one synthetic test frame
+    wins; otherwise libx264 (the reference's fallback, ffmpeg.py:52). Being
+    listed does not imply a usable device — hevc_vaapi is compiled into most
+    ffmpeg builds but needs a render node — hence the functional encode.
+    Result is cached per binary path for the life of the process.
+    """
+    cached = _probe_cache.get(exe)
+    if cached is not None:
+        return cached
+    try:
+        listed = subprocess.run(
+            [exe, "-hide_banner", "-encoders"],
+            capture_output=True, text=True, timeout=15,
+        ).stdout
+    except (OSError, subprocess.SubprocessError):
+        listed = ""
+    choice = "libx264"
+    for cand in _HW_ENCODER_CANDIDATES:
+        if cand not in listed:
+            continue
+        try:
+            test = subprocess.run(
+                [exe, "-v", "error", "-f", "lavfi",
+                 "-i", "color=c=black:s=64x64:d=0.1", "-frames:v", "1",
+                 "-c:v", cand, "-f", "null", "-"],
+                capture_output=True, timeout=30,
+            )
+        except (OSError, subprocess.SubprocessError):
+            continue
+        if test.returncode == 0:
+            choice = cand
+            break
+    _probe_cache[exe] = choice
+    return choice
 
 
 def second_to_timecode(x: float = 0.0) -> str:
@@ -61,7 +110,9 @@ class FFMPEGRecorder:
 
         exe = _ffmpeg_exe()
         if exe is not None:
-            self.codec = codec or "libx264"
+            if codec in (None, "auto"):
+                codec = probe_encoder(exe)
+            self.codec = codec
             cmd = [
                 exe, "-v", "quiet", "-y",
                 "-s", f"{self.dimension[0]}x{self.dimension[1]}",

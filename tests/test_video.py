@@ -46,6 +46,75 @@ def test_timecode_format():
     assert second_to_timecode(3661.5) == "01:01:01,500"
 
 
+def _write_fake_ffmpeg(tmp_path, listed, working):
+    """A stub ffmpeg: prints an encoder table for -encoders; for a test
+    encode (-c:v CODEC), exits 0 iff CODEC is in ``working``."""
+    rows = "\n".join(f" V....D {name}" for name in listed)
+    script = tmp_path / "ffmpeg"
+    script.write_text(
+        "#!/bin/sh\n"
+        "for a in \"$@\"; do\n"
+        f"  [ \"$a\" = \"-encoders\" ] && printf '{rows}\\n' && exit 0\n"
+        "done\n"
+        "prev=\"\"; codec=\"\"\n"
+        "for a in \"$@\"; do\n"
+        "  [ \"$prev\" = \"-c:v\" ] && codec=\"$a\"\n"
+        "  prev=\"$a\"\n"
+        "done\n"
+        f"case \"$codec\" in {'|'.join(working) or 'NONE'}) exit 0;; esac\n"
+        "exit 1\n"
+    )
+    script.chmod(0o755)
+    return str(script)
+
+
+def test_probe_encoder_picks_first_functional_hw(tmp_path):
+    """hevc_nvenc is listed but fails its test encode (no GPU); hevc_vaapi
+    both listed and functional wins. Reference order: utils/ffmpeg.py:45-52."""
+    from image_super_resolution_tpu.video import recorder
+
+    exe = _write_fake_ffmpeg(
+        tmp_path, listed=["hevc_nvenc", "hevc_vaapi", "libx264"],
+        working=["hevc_vaapi", "libx264"])
+    assert recorder.probe_encoder(exe) == "hevc_vaapi"
+    # cached per binary path: a second call must not re-run the probe
+    assert recorder._probe_cache[exe] == "hevc_vaapi"
+    assert recorder.probe_encoder(exe) == "hevc_vaapi"
+
+
+def test_probe_encoder_falls_back_to_libx264(tmp_path):
+    from image_super_resolution_tpu.video import recorder
+
+    # HW encoders listed but none survives the functional encode
+    exe = _write_fake_ffmpeg(
+        tmp_path, listed=["hevc_nvenc", "hevc_vaapi", "libx264"], working=[])
+    assert recorder.probe_encoder(exe) == "libx264"
+    # nothing HW listed at all: no test encodes attempted, straight fallback
+    sub = tmp_path / "sub"
+    sub.mkdir()
+    exe2 = _write_fake_ffmpeg(sub, listed=["libx264"], working=[])
+    assert recorder.probe_encoder(exe2) == "libx264"
+
+
+def test_recorder_auto_codec_uses_probe(tmp_path, monkeypatch):
+    from image_super_resolution_tpu.video import recorder
+
+    exe = _write_fake_ffmpeg(
+        tmp_path, listed=["hevc_nvenc", "hevc_vaapi"], working=["hevc_nvenc"])
+    monkeypatch.setattr(recorder, "_ffmpeg_exe", lambda: exe)
+    rec = recorder.FFMPEGRecorder(
+        str(tmp_path / "o.mp4"), video_dimensions=(8, 8), fps=5, codec="auto")
+    assert rec.backend == "ffmpeg" and rec.codec == "hevc_nvenc"
+    rec.stop_recorder()
+    # explicit codec bypasses the probe entirely
+    recorder._probe_cache.clear()
+    rec2 = recorder.FFMPEGRecorder(
+        str(tmp_path / "o2.mp4"), video_dimensions=(8, 8), fps=5,
+        codec="libx264")
+    assert rec2.codec == "libx264" and not recorder._probe_cache
+    rec2.stop_recorder()
+
+
 def test_reader_batches_fixed_shape(tmp_path):
     path = tmp_path / "in.mp4"
     _write_test_video(path, n_frames=10)
