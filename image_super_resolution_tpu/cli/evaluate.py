@@ -92,18 +92,16 @@ def main(argv=None) -> dict:
         # on the LR side of the first eval batch (the exact distribution the
         # quantized trunk will see). The batch is kept and fed back into the
         # eval loop below, so nothing is decoded twice.
-        if deployed.spec.family not in ("fast", "denoise_fast"):
-            raise SystemExit(
-                f"--int8 serves the fast families only (artifact is "
-                f"{deployed.spec.family!r}); the reference topologies' conv "
-                f"shapes measured int8-dead (PERF.md)"
-            )
         from ..models.quantized import quantize_deployed
 
         hr01 = jnp.asarray(first_batch).astype(jnp.float32) / 255.0
         lr01 = make_lr01(hr01, batch_rng(0))
         lr_u8 = jnp.clip(jnp.round(lr01 * 255.0), 0, 255).astype(jnp.uint8)
-        deployed = quantize_deployed(deployed, [lr_u8])
+        try:  # quantize_deployed owns the family whitelist; surface its
+            # ValueError as the CLI's clean one-line exit (same as rs.py)
+            deployed = quantize_deployed(deployed, [lr_u8])
+        except ValueError as e:
+            raise SystemExit(str(e)) from None
 
     @jax.jit
     def eval_batch(hr_u8, rng):

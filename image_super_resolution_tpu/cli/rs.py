@@ -55,8 +55,9 @@ def build_parser() -> argparse.ArgumentParser:
                              "one psum per residual block — the "
                              "latency-bound serving axis for single images "
                              "when the batch is too small for "
-                             "--data_devices. fast families only "
-                             "(fast / denoise_fast)")
+                             "--data_devices. fast family only; serve "
+                             "denoise_fast (downshuffle front) via "
+                             "--data_devices")
     parser.add_argument("--int8", action="store_true",
                         help="serve the fast-family trunk in int8 (PTQ "
                              "with per-channel weights, self-calibrated on "
@@ -114,6 +115,11 @@ def run(
     from ..infer.engine import TiledUpscaler
     from ..models.deploy import load_artifact
 
+    if tp_devices < 0:
+        raise SystemExit(
+            f"--tp_devices must be >= 0 (0 = all local devices), "
+            f"got {tp_devices}"
+        )
     use_tp = tp_devices == 0 or tp_devices > 1
     # Orthogonal sharding modes stay mutually exclusive (the engine enforces
     # the other three). != 1, not > 1: 0 is the documented "all local
@@ -152,18 +158,16 @@ def run(
             "count; use --data_devices (x1 images are small per-tile anyway)"
         )
     if int8:
-        if deployed.spec.family not in ("fast", "denoise_fast"):
-            # same clean one-line exit as the other flag-validation errors
-            raise SystemExit(
-                f"--int8 serves the fast families only (artifact is "
-                f"{deployed.spec.family!r}); the reference topologies' conv "
-                f"shapes measured int8-dead (PERF.md)"
-            )
         from ..models.quantized import quantize_deployed
 
-        deployed = quantize_deployed(
-            deployed, _int8_calib_batches(Path(src), window_size)
-        )
+        try:  # quantize_deployed owns the family whitelist (single source
+            # of truth); surface its ValueError as the same clean one-line
+            # exit the other flag-validation errors use
+            deployed = quantize_deployed(
+                deployed, _int8_calib_batches(Path(src), window_size)
+            )
+        except ValueError as e:
+            raise SystemExit(str(e)) from None
     if use_tp:
         # Channel-shard the model itself; the engine tiles through the TP
         # wrapper unchanged.
@@ -334,7 +338,17 @@ def _int8_calib_batches(src_path: Path, window: int) -> list:
         if not images:
             raise FileNotFoundError(f"no images in {src_path}")
         sel = images[:: max(1, len(images) // 8)][:8]
-        imgs = [_read_image_rgb(p) for p in sel]
+        imgs = []
+        for p in sel:  # the folder serving loop tolerates bad files; a
+            try:  # corrupt calibration sample must not kill the batch either
+                imgs.append(_read_image_rgb(p))
+            except Exception as e:
+                print(f"int8 calibration: skipping unreadable {p}: {e}")
+        if not imgs:
+            raise FileNotFoundError(
+                f"no readable calibration images among {len(sel)} sampled "
+                f"from {src_path}"
+            )
         # one COMMON crop size across images -> one stacked batch -> the
         # calibration forward compiles once
         c = max(1, min([c] + [min(i.shape[:2]) for i in imgs]))
@@ -437,6 +451,7 @@ def _run_video(engine, deployed, src: Path, out: Path, batch_size: int,
 
     n = 0
     pending = None  # (device result, n_valid) — fetched one batch behind
+    body_ok = False
     try:
         while True:
             item = q.get()
@@ -455,6 +470,7 @@ def _run_video(engine, deployed, src: Path, out: Path, batch_size: int,
                 n += 1
         if producer_exc:
             raise RuntimeError("video decode failed") from producer_exc[0]
+        body_ok = True
     finally:
         stop.set()
         while True:  # drain so a put-blocked producer observes the stop
@@ -471,15 +487,16 @@ def _run_video(engine, deployed, src: Path, out: Path, batch_size: int,
         # capture, but on the SUCCESS path it must PROPAGATE: a dead
         # encoder means the written file is truncated, and returning
         # success for a corrupt video is worse than the traceback.
-        import sys as _sys
-
+        # (body_ok, not sys.exc_info(): the latter also sees an OUTER
+        # handled exception when a caller runs us inside an except block
+        # and would silently drop the error there.)
         stop_err = None
         try:
             recorder.stop_recorder()
         except Exception as e:
             stop_err = e
         source.close()
-        if stop_err is not None and _sys.exc_info()[0] is None:
+        if stop_err is not None and body_ok:
             raise stop_err
     recorder.add_audio(src)
     print(f"wrote {n} frames -> {out}")

@@ -528,13 +528,7 @@ def test_cli_fast_family_train_gan_export_rs(workspace, tmp_path):
 
 
 def test_cli_fast_family_rejects_enchant(tmp_path):
-    with pytest.raises(SystemExit, match="enchant"):
-        train_main(["--family", "fast", "--enchant", "--resnet",
-                    "--work_dir", str(tmp_path)])
-
-
-def test_cli_fast_family_enchant_still_rejected(tmp_path):
-    """--family fast + --train_denoise is a real mode now (denoise_fast,
+    """--family fast + --train_denoise is a real mode (denoise_fast,
     test_cli_denoise_fast_phase); the remaining invalid combination is
     --enchant, which is a reference-topology variant."""
     with pytest.raises(SystemExit, match="enchant"):

@@ -326,6 +326,43 @@ def test_int8_calibration_handles_tiny_images_and_mixed_folders(tmp_path):
     assert batch.shape == (8, 12, 12, 3)  # 4 crops from each of 2 images
 
 
+def test_int8_calibration_skips_unreadable_files(tmp_path):
+    """One corrupt file among the sampled calibration images must not kill
+    the batch run (the folder serving loop tolerates bad files; calibration
+    inherits that contract). An ALL-corrupt folder still fails loudly."""
+    from PIL import Image
+
+    from image_super_resolution_tpu.cli.rs import _int8_calib_batches
+
+    rng = np.random.default_rng(3)
+    folder = tmp_path / "imgs"
+    folder.mkdir()
+    for name, shape in (("a.png", (12, 20, 3)), ("c.png", (30, 18, 3))):
+        Image.fromarray(rng.integers(0, 255, shape, np.uint8)
+                        ).save(folder / name)
+    (folder / "b.png").write_bytes(b"not an image at all")
+    (batch,) = _int8_calib_batches(folder, 96)
+    assert batch.shape == (8, 12, 12, 3)  # 4 crops from each READABLE image
+
+    bad = tmp_path / "allbad"
+    bad.mkdir()
+    (bad / "x.png").write_bytes(b"junk")
+    with pytest.raises(FileNotFoundError, match="no readable"):
+        _int8_calib_batches(bad, 96)
+
+
+def test_cli_rejects_negative_tp_devices(tmp_path):
+    """A negative --tp_devices (typo for a positive count) must error, not
+    silently serve single-device with no TP."""
+    from image_super_resolution_tpu.cli import rs
+
+    with pytest.raises(SystemExit, match="tp_devices must be >= 0"):
+        rs.main(["--model", str(tmp_path / "m.isr"),
+                 "--src", str(tmp_path / "in.png"),
+                 "--save_dir", str(tmp_path / "o.png"),
+                 "--tp_devices", "-4"])
+
+
 def test_cli_int8_rejects_non_fast_artifacts(tmp_path):
     """rs.py/eval.py --int8 on a non-fast artifact exits with the clean
     one-line message the other flag-validation errors use, not a

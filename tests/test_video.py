@@ -161,6 +161,49 @@ def test_rs_video_path(tmp_path):
     cap.release()
 
 
+def test_video_stop_recorder_failure_propagates_inside_handler(
+        tmp_path, monkeypatch):
+    """A dead encoder at stop_recorder() means the written file is
+    truncated, so the error must propagate on the success path — even when
+    the CLI runs inside a caller's except block (retry wrapper, server
+    handler), where sys.exc_info() is non-empty and a thread-state gate
+    would silently swallow it. The gate must be a local success flag."""
+    import jax
+    import jax.numpy as jnp
+
+    from image_super_resolution_tpu.cli.rs import main as rs_main
+    from image_super_resolution_tpu.models.deploy import (
+        DeploySpec,
+        save_artifact,
+    )
+    from image_super_resolution_tpu.video import recorder as rec_mod
+
+    path = tmp_path / "in.mp4"
+    _write_test_video(path, n_frames=4)
+    spec = DeploySpec(family="sr", depth=1, width=8, scale=2)
+    model = spec.build_model(dtype=jnp.float32)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))["params"]
+    artifact = tmp_path / "m.isr"
+    save_artifact(artifact, spec, params)
+
+    real_stop = rec_mod.FFMPEGRecorder.stop_recorder
+
+    def dying_stop(self):
+        real_stop(self)  # still release the child/writer
+        raise BrokenPipeError("encoder died at stop")
+
+    monkeypatch.setattr(rec_mod.FFMPEGRecorder, "stop_recorder", dying_stop)
+    try:
+        raise KeyError("outer handled exception")
+    except KeyError:
+        with pytest.raises(BrokenPipeError, match="encoder died"):
+            rs_main([
+                "--model", str(artifact), "--src", str(path),
+                "--save_dir", str(tmp_path / "up.mp4"), "--batch_size", "4",
+            ])
+
+
 def test_rs_video_path_data_devices(tmp_path):
     """Video SR with --data_devices: frame batches shard over the data mesh
     axis and the engine-rounded batch size feeds the source (no per-batch
