@@ -116,6 +116,9 @@ def main(argv=None) -> Path:
     from ..infer.engine import TiledUpscaler
     from ..interop.torch_import import import_torchscript_artifact
     from ..models.deploy import save_artifact
+    from ..utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()  # repeat demo runs skip the first-call compile
 
     model_pt = find_model_pt(opt.model_pt)
     out_dir = Path(opt.out_dir)

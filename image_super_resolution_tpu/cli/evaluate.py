@@ -43,11 +43,21 @@ def build_parser() -> argparse.ArgumentParser:
                              "--int8), calibrated on the first eval batch — "
                              "run with and without to quantify the PTQ "
                              "quality cost on a real checkpoint")
+    parser.add_argument("--compile_cache", type=str, default=None,
+                        help="persistent XLA compilation cache directory "
+                             "(default ~/.cache/image_super_resolution_tpu/"
+                             "xla_cache, or $ISR_COMPILE_CACHE; 'off' "
+                             "disables) — repeat evals skip the first-call "
+                             "compile")
     return parser
 
 
 def main(argv=None) -> dict:
     opt = build_parser().parse_args(argv)
+
+    from ..utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache(opt.compile_cache)
 
     import jax
     import jax.numpy as jnp

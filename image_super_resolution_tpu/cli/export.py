@@ -56,11 +56,20 @@ def build_parser() -> argparse.ArgumentParser:
                              "(strict=True into reference Discriminator)")
     parser.add_argument("--smoke", action="store_true",
                         help="run + time one forward after export")
+    parser.add_argument("--compile_cache", type=str, default=None,
+                        help="persistent XLA compilation cache directory "
+                             "(default ~/.cache/image_super_resolution_tpu/"
+                             "xla_cache, or $ISR_COMPILE_CACHE; 'off' "
+                             "disables)")
     return parser
 
 
 def main(argv=None) -> None:
     opt = build_parser().parse_args(argv)
+
+    from ..utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache(opt.compile_cache)
 
     import numpy as np
 

@@ -71,6 +71,12 @@ def build_parser() -> argparse.ArgumentParser:
                              "whole inference run into this directory "
                              "(TensorBoard-loadable) — the serving-side "
                              "counterpart of train.py --profile_dir")
+    parser.add_argument("--compile_cache", type=str, default=None,
+                        help="persistent XLA compilation cache directory so "
+                             "repeat invocations skip the 20-40s first-call "
+                             "compile (default ~/.cache/image_super_"
+                             "resolution_tpu/xla_cache, or "
+                             "$ISR_COMPILE_CACHE; pass 'off' to disable)")
     parser.add_argument("--codec", type=str, default=None,
                         help="ffmpeg video encoder (e.g. libx264, hevc_nvenc, "
                              "hevc_vaapi). Default 'auto': probe the "
@@ -101,6 +107,7 @@ def run(
     int8: bool = False,
     profile_dir: str | None = None,
     codec: str | None = None,
+    compile_cache: str | None = None,
 ) -> Path:
     if profile_dir:
         # re-enter without the flag inside the trace window
@@ -114,6 +121,9 @@ def run(
         return result
     from ..infer.engine import TiledUpscaler
     from ..models.deploy import load_artifact
+    from ..utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache(compile_cache)
 
     if tp_devices < 0:
         raise SystemExit(

@@ -104,6 +104,12 @@ def build_parser() -> argparse.ArgumentParser:
                         help="checkpoint format: single msgpack file "
                              "(default) or an Orbax directory with the same "
                              "payload/lifecycle (train/orbax_io.py)")
+    parser.add_argument("--compile_cache", type=str, default=None,
+                        help="persistent XLA compilation cache directory "
+                             "(default ~/.cache/image_super_resolution_tpu/"
+                             "xla_cache, or $ISR_COMPILE_CACHE; 'off' "
+                             "disables) — restarts/resumes skip the "
+                             "train-step compile")
     return parser
 
 
@@ -115,6 +121,10 @@ def main(argv=None) -> None:
 def run_training(opt) -> None:
     random.seed(opt.seed)
     np.random.seed(opt.seed)
+
+    from ..utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache(getattr(opt, "compile_cache", None))
 
     import jax
     import jax.numpy as jnp

@@ -1,0 +1,63 @@
+"""Persistent XLA compilation cache across CLI invocations.
+
+The reference runs eager torch/CUDA and pays no compile cost; under jit
+the first call compiles the whole serving or train-step graph (~20-40 s
+on a TPU chip). Every CLI here is a short-lived process (rs.py per
+image/folder/video, eval.py, export.py smoke paths, train.py restarts),
+so without persistence each invocation pays that cost again. JAX's
+persistent compilation cache — keyed on the HLO, compile options, and
+platform version — makes repeat invocations skip straight to execution.
+
+No reference counterpart (torch caches nothing across processes;
+/root/reference/rs.py:16-27 just loads weights): this is TPU-native
+ergonomics for the same repeat-CLI workflow.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+_DISABLE = {"", "0", "none", "off", "false", "disable", "disabled"}
+
+#: Used when neither the --compile_cache flag nor $ISR_COMPILE_CACHE is set.
+DEFAULT_DIR = "~/.cache/image_super_resolution_tpu/xla_cache"
+
+
+def resolve_cache_dir(cache_dir: str | None = None) -> str | None:
+    """Resolve the cache directory without touching JAX.
+
+    Resolution order: explicit value -> $ISR_COMPILE_CACHE -> DEFAULT_DIR.
+    Any of them set to "off"/"none"/"0" (case-insensitive) disables the
+    cache and resolves to None.
+    """
+    resolved = cache_dir
+    if resolved is None:
+        resolved = os.environ.get("ISR_COMPILE_CACHE")
+    if resolved is None:
+        resolved = DEFAULT_DIR
+    if str(resolved).strip().lower() in _DISABLE:
+        return None
+    return str(Path(resolved).expanduser())
+
+
+def enable_compile_cache(cache_dir: str | None = None) -> str | None:
+    """Point JAX's persistent compilation cache at the resolved directory.
+
+    Must run before the process's first jit compilation to cover it (later
+    compilations are still cached); calling again is safe. Returns the
+    directory in use, or None when disabled or unusable (an unwritable
+    location falls back to running uncached rather than failing — the
+    cache is an accelerator, never a requirement).
+    """
+    path = resolve_cache_dir(cache_dir)
+    if path is None:
+        return None
+    try:
+        Path(path).mkdir(parents=True, exist_ok=True)
+    except OSError:
+        return None
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", path)
+    return path
