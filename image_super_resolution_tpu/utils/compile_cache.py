@@ -23,6 +23,24 @@ _DISABLE = {"", "0", "none", "off", "false", "disable", "disabled"}
 #: Used when neither the --compile_cache flag nor $ISR_COMPILE_CACHE is set.
 DEFAULT_DIR = "~/.cache/image_super_resolution_tpu/xla_cache"
 
+#: LRU size cap for the cache directory (JAX evicts least-recently-used
+#: entries past this). Override with $ISR_COMPILE_CACHE_MAX_BYTES
+#: (-1 = unbounded). A single serving graph is ~10-100 MB serialized, so
+#: 4 GiB holds every shape/model variant a workstation realistically cycles
+#: through while bounding ~/.cache growth on long-lived production hosts.
+DEFAULT_MAX_BYTES = 4 << 30
+
+
+def resolve_max_bytes() -> int:
+    """Cache size cap: $ISR_COMPILE_CACHE_MAX_BYTES or DEFAULT_MAX_BYTES."""
+    raw = os.environ.get("ISR_COMPILE_CACHE_MAX_BYTES")
+    if raw is None:
+        return DEFAULT_MAX_BYTES
+    try:
+        return int(raw)
+    except ValueError:
+        return DEFAULT_MAX_BYTES
+
 
 def resolve_cache_dir(cache_dir: str | None = None) -> str | None:
     """Resolve the cache directory without touching JAX.
@@ -59,5 +77,18 @@ def enable_compile_cache(cache_dir: str | None = None) -> str | None:
         return None
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", path)
+    if jax.config.jax_compilation_cache_dir != path:
+        jax.config.update("jax_compilation_cache_dir", path)
+        # JAX opens the file cache at most once per process, at the first
+        # compile; a later dir change is silently ignored unless the cache
+        # object is dropped. Matters for library use (a host process that
+        # already jitted something before calling into us).
+        try:
+            from jax._src import compilation_cache as _cc
+
+            _cc.reset_cache()
+        except Exception:  # pragma: no cover - private API moved/absent
+            pass
+    # The LRU bound is read when JAX (re)opens the file cache.
+    jax.config.update("jax_compilation_cache_max_size", resolve_max_bytes())
     return path

@@ -16,8 +16,10 @@ import pytest
 
 from image_super_resolution_tpu.utils.compile_cache import (
     DEFAULT_DIR,
+    DEFAULT_MAX_BYTES,
     enable_compile_cache,
     resolve_cache_dir,
+    resolve_max_bytes,
 )
 
 
@@ -44,6 +46,27 @@ class TestResolve:
         monkeypatch.setenv("ISR_COMPILE_CACHE", "off")
         assert resolve_cache_dir(None) is None
 
+    def test_max_bytes_default_and_override(self, monkeypatch):
+        monkeypatch.delenv("ISR_COMPILE_CACHE_MAX_BYTES", raising=False)
+        assert resolve_max_bytes() == DEFAULT_MAX_BYTES
+        monkeypatch.setenv("ISR_COMPILE_CACHE_MAX_BYTES", "-1")
+        assert resolve_max_bytes() == -1  # unbounded opt-out
+        monkeypatch.setenv("ISR_COMPILE_CACHE_MAX_BYTES", "not-an-int")
+        assert resolve_max_bytes() == DEFAULT_MAX_BYTES
+
+    def test_enable_applies_lru_bound(self, tmp_path, monkeypatch):
+        import jax
+
+        prev_dir = jax.config.jax_compilation_cache_dir
+        prev_max = jax.config.jax_compilation_cache_max_size
+        try:
+            monkeypatch.setenv("ISR_COMPILE_CACHE_MAX_BYTES", "12345")
+            enable_compile_cache(str(tmp_path))
+            assert jax.config.jax_compilation_cache_max_size == 12345
+        finally:
+            jax.config.update("jax_compilation_cache_dir", prev_dir)
+            jax.config.update("jax_compilation_cache_max_size", prev_max)
+
 
 class TestEnable:
     def test_unwritable_location_falls_back_to_uncached(self):
@@ -51,9 +74,16 @@ class TestEnable:
         assert enable_compile_cache("/proc/isr_no_such_cache") is None
 
     def test_populates_and_reuses_entries(self, tmp_path, monkeypatch):
-        """A jitted call writes an executable into the cache directory."""
+        """A jitted call writes an executable into the cache directory.
+
+        Also pins the mid-process dir-change behavior: earlier tests in the
+        suite may already have initialized JAX's file cache at another path
+        (JAX opens it at most once unless reset), so enable_compile_cache
+        must make THIS directory take effect regardless.
+        """
         import jax
         import jax.numpy as jnp
+        from jax._src import compilation_cache as cc
 
         prev_dir = jax.config.jax_compilation_cache_dir
         prev_time = jax.config.jax_persistent_cache_min_compile_time_secs
@@ -75,6 +105,7 @@ class TestEnable:
             jax.config.update("jax_compilation_cache_dir", prev_dir)
             jax.config.update("jax_persistent_cache_min_compile_time_secs", prev_time)
             jax.config.update("jax_persistent_cache_min_entry_size_bytes", prev_size)
+            cc.reset_cache()  # drop the tmp_path-backed cache object
 
 
 class TestFlagSurface:
