@@ -59,6 +59,34 @@ def resolve_cache_dir(cache_dir: str | None = None) -> str | None:
     return str(Path(resolved).expanduser())
 
 
+def _backfill_atimes(path: str) -> None:
+    """Give legacy cache entries the ``-atime`` companion the LRU needs.
+
+    Entries written while the cache was unbounded have no ``-atime`` file;
+    JAX's LRUCache reads one for EVERY ``*-cache`` entry during eviction, so
+    a single legacy entry makes every subsequent put() fail (surfacing as a
+    "FileNotFoundError: ...-atime" warning and a cache that never grows).
+    Stamp missing ones with the entry file's mtime for a truthful LRU order.
+    """
+    try:
+        names = os.listdir(path)
+    except OSError:
+        return
+    have = set(names)
+    for name in names:
+        if not name.endswith("-cache"):
+            continue
+        atime_name = name[: -len("-cache")] + "-atime"
+        if atime_name in have:
+            continue
+        entry = Path(path) / name
+        try:
+            stamp = int(entry.stat().st_mtime_ns).to_bytes(8, "little")
+            (Path(path) / atime_name).write_bytes(stamp)
+        except (OSError, OverflowError):  # pragma: no cover - racing eviction
+            pass
+
+
 def enable_compile_cache(cache_dir: str | None = None) -> str | None:
     """Point JAX's persistent compilation cache at the resolved directory.
 
@@ -90,5 +118,8 @@ def enable_compile_cache(cache_dir: str | None = None) -> str | None:
         except Exception:  # pragma: no cover - private API moved/absent
             pass
     # The LRU bound is read when JAX (re)opens the file cache.
-    jax.config.update("jax_compilation_cache_max_size", resolve_max_bytes())
+    max_bytes = resolve_max_bytes()
+    jax.config.update("jax_compilation_cache_max_size", max_bytes)
+    if max_bytes != -1:
+        _backfill_atimes(path)
     return path

@@ -108,6 +108,64 @@ class TestEnable:
             cc.reset_cache()  # drop the tmp_path-backed cache object
 
 
+    def test_legacy_unbounded_entries_get_atime_backfill(
+        self, tmp_path, monkeypatch
+    ):
+        """Upgrading an unbounded cache dir to bounded must keep it writable.
+
+        JAX's LRUCache reads an ``-atime`` companion for EVERY ``*-cache``
+        entry during eviction; entries written before the bound existed have
+        none, so one legacy entry makes every put() fail with a
+        FileNotFoundError warning. enable_compile_cache backfills them.
+        """
+        import warnings
+
+        import jax
+        import jax.numpy as jnp
+        from jax._src import compilation_cache as cc
+
+        legacy = tmp_path / "deadbeef-cache"
+        legacy.write_bytes(b"legacy entry from the unbounded era")
+
+        prev_dir = jax.config.jax_compilation_cache_dir
+        prev_max = jax.config.jax_compilation_cache_max_size
+        prev_time = jax.config.jax_persistent_cache_min_compile_time_secs
+        prev_size = jax.config.jax_persistent_cache_min_entry_size_bytes
+        try:
+            monkeypatch.setenv("ISR_COMPILE_CACHE_MAX_BYTES", str(1 << 20))
+            assert enable_compile_cache(str(tmp_path)) == str(tmp_path)
+            atime = tmp_path / "deadbeef-atime"
+            assert atime.exists(), "legacy entry not backfilled"
+            assert (
+                int.from_bytes(atime.read_bytes(), "little")
+                == legacy.stat().st_mtime_ns
+            )
+
+            # the actual regression: a put() alongside the legacy entry
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+            @jax.jit
+            def f(x):
+                return jnp.sinh(x) @ (x - 0.54321)
+
+            with warnings.catch_warnings():
+                warnings.simplefilter("error")  # the failure mode is a warning
+                f(jnp.ones((8, 8))).block_until_ready()
+            new_entries = [
+                p
+                for p in tmp_path.glob("*-cache")
+                if p.name != "deadbeef-cache"
+            ]
+            assert new_entries, "no new cache entry written beside legacy one"
+        finally:
+            jax.config.update("jax_compilation_cache_dir", prev_dir)
+            jax.config.update("jax_compilation_cache_max_size", prev_max)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", prev_time)
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes", prev_size)
+            cc.reset_cache()
+
+
 class TestFlagSurface:
     """Every CLI whose first call compiles a big graph exposes the flag."""
 
