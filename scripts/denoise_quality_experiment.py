@@ -30,12 +30,22 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from flagship_quality_experiment import make_dataset  # noqa: E402  (same data)
+from flagship_quality_experiment import (  # noqa: E402  (same data)
+    make_dataset,
+    make_photo_dataset,
+)
 
 
 def run(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--workdir", type=str, default="/tmp/denoise_quality")
+    parser.add_argument("--dataset", choices=("synthetic", "photo"),
+                        default="synthetic",
+                        help="'photo' trains/evals on spatially-disjoint "
+                             "crops of the environment's one real photograph "
+                             "(flagship_quality_experiment.make_photo_dataset)"
+                             " — real texture is where x1 noise statistics "
+                             "actually live")
     parser.add_argument("--epochs", type=int, default=120,
                         help="equal denoise-phase budget for both arms "
                              "(240 imgs / batch 16 = 15 steps per epoch)")
@@ -81,6 +91,8 @@ def run(argv=None):
         ws.mkdir(parents=True)
         if opt.smoke:
             make_dataset(ws, n_train=8, n_val=2)
+        elif opt.dataset == "photo":
+            make_photo_dataset(ws)
         else:
             make_dataset(ws)
     if opt.smoke:

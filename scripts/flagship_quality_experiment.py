@@ -60,9 +60,74 @@ def make_dataset(root: Path, n_train: int = 240, n_val: int = 24,
         "--shape", str(shape), "--output", str(root)])
 
 
+def make_photo_dataset(root: Path, size: int = 192, shape: int = 96,
+                       n_train: int = 240):
+    """Real-photograph benchmark from the ONE real photo shipped in this
+    offline environment: matplotlib's bundled grace_hopper.jpg (512x600 RGB
+    portrait — skin, hair, fabric, insignia: natural-image statistics the
+    synthetic generator cannot fake). The gate on this split complements the
+    synthetic one; VERDICT r3 noted synthetic hard edges exaggerate x4
+    degradation modes.
+
+    Train/val are spatially DISJOINT: val crops come only from the top
+    192-px band, train crops only from rows >= 192, so no pixel appears in
+    both and the gate measures generalization, not memorization. Train
+    crops are 8-fold dihedral-augmented then subsampled to ``n_train`` with
+    a fixed seed (matching the synthetic split's size so the equal-epoch
+    budget means equal steps across --dataset choices)."""
+    import matplotlib
+    from PIL import Image
+
+    src = Path(matplotlib.get_data_path()) / "sample_data" / "grace_hopper.jpg"
+    if not src.exists():
+        raise SystemExit(f"photo dataset source missing: {src}")
+    img = np.asarray(Image.open(src).convert("RGB"))
+    h, w = img.shape[:2]
+    assert h >= 2 * size and w >= size, (h, w)
+
+    def dihedral(a: np.ndarray, k: int) -> np.ndarray:
+        a = np.rot90(a, k % 4)
+        return a[:, ::-1] if k >= 4 else a
+
+    stride = 32
+    val_dir, train_dir = root / "val", root / "train"
+    val_dir.mkdir(parents=True, exist_ok=True)
+    train_dir.mkdir(parents=True, exist_ok=True)
+    n_val = 0
+    for x0 in range(0, w - size + 1, stride):  # top band only
+        for k in (0, 4):  # identity + mirror: 22 val crops
+            crop = dihedral(img[:size, x0: x0 + size], k)
+            Image.fromarray(np.ascontiguousarray(crop)).save(
+                val_dir / f"val_{n_val}.png")
+            n_val += 1
+    ys = list(range(size, h - size + 1, stride))
+    if ys[-1] != h - size:
+        ys.append(h - size)  # cover the bottom edge
+    crops = [(y0, x0, k)
+             for y0 in ys
+             for x0 in range(0, w - size + 1, stride)
+             for k in range(8)]
+    rng = np.random.default_rng(7)
+    rng.shuffle(crops)
+    for i, (y0, x0, k) in enumerate(crops[:n_train]):
+        crop = dihedral(img[y0: y0 + size, x0: x0 + size], k)
+        Image.fromarray(np.ascontiguousarray(crop)).save(
+            train_dir / f"img_{i}.png")
+    from image_super_resolution_tpu.cli.create_json import main as cj
+
+    cj(["--train_dirs", str(train_dir), "--val_dirs", str(val_dir),
+        "--shape", str(shape), "--output", str(root)])
+
+
 def run(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--workdir", type=str, default="/tmp/flagship_quality")
+    parser.add_argument("--dataset", choices=("synthetic", "photo"),
+                        default="synthetic",
+                        help="'photo' trains/evals on spatially-disjoint "
+                             "crops of the environment's one real photograph "
+                             "(make_photo_dataset) instead of the synthetic "
+                             "sharp-edge generator")
     parser.add_argument("--epochs", type=int, default=120,
                         help="equal pixel-phase budget for both arms "
                              "(240 imgs / batch 16 = 15 steps per epoch)")
@@ -95,7 +160,7 @@ def run(argv=None):
         if ws.exists():
             shutil.rmtree(ws)
         ws.mkdir(parents=True)
-        make_dataset(ws)
+        (make_photo_dataset if opt.dataset == "photo" else make_dataset)(ws)
     common = ["--resnet", "--scale", str(opt.scale), "--shape", "96",
               "--batch_size", "16", "--epochs", str(opt.epochs),
               "--ckpt_every", "25", "--seed", "100",
