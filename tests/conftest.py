@@ -19,6 +19,13 @@ if os.environ.get("_ISR_TPU_TESTS") != "1":
             flags + " --xla_force_host_platform_device_count=8"
         ).strip()
     os.environ.setdefault("JAX_ENABLE_X64", "0")
+    # Hermetic tests: never read/write the user-level persistent XLA compile
+    # cache (utils/compile_cache.py). Suite runs would otherwise fill
+    # ~/.cache with CPU-compiled entries, and concurrent multi-process tests
+    # sharing one LRU'd directory can skew worker startup enough to blow
+    # Gloo's 30 s rendezvous deadline. Tests that exercise the cache pass an
+    # explicit directory (which takes precedence) or monkeypatch the env.
+    os.environ.setdefault("ISR_COMPILE_CACHE", "off")
     import jax
 
     jax.config.update("jax_platforms", "cpu")

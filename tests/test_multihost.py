@@ -43,6 +43,13 @@ def _scrubbed_env(n_local_devices: int) -> dict:
     ]
     flags.append(f"--xla_force_host_platform_device_count={n_local_devices}")
     env["XLA_FLAGS"] = " ".join(flags)
+    # Workers must not share the user-level persistent compile cache: a
+    # cache-hit/miss asymmetry between processes skews their arrival at the
+    # first collective past Gloo's 30 s rendezvous deadline (observed), and
+    # concurrent LRU eviction against one directory is not what the feature
+    # is for. Belt to conftest.py's suspenders — this also holds when the
+    # test file is run without the repo conftest.
+    env["ISR_COMPILE_CACHE"] = "off"
     return env
 
 
