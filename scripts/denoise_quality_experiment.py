@@ -14,7 +14,13 @@ Results recorded in PERF.md.
 Optional arms: --extra_downshuffle 4 maps the speed/quality dose-response;
 --refine_blocks 2 [--refine_width 64] trains the full-res refinement-tail
 variant (models/fast.py) that answers the plain arm's measured gate failure
-— when present, the refine arm carries the gate.
+— when present, the refine arm carries the gate. --fullres_depth 6 trains
+the W arm: the SAME fast trunk at FULL resolution (downshuffle 1) at FLOP
+parity with the reference denoiser topology (6 blocks x 2 x 9 x 128^2 ~
+3.5 MFLOP/px vs its 3.75) — the hypothesis that at x1 the MXU-first answer
+is widening to 128 lanes, not downshuffling. When trained, the W arm
+carries the gate (it is the family's x1 fidelity answer; refine stays the
+throughput option).
 
 Usage: python scripts/denoise_quality_experiment.py [--workdir DIR]
        [--epochs N] [--resume] [--refine_blocks K]
@@ -64,6 +70,12 @@ def run(argv=None):
                              "(PERF.md). When set, the family gate is judged "
                              "on this arm.")
     parser.add_argument("--refine_width", type=int, default=64)
+    parser.add_argument("--fullres_depth", type=int, default=0,
+                        help="optionally train a W arm: the fast family's "
+                             "width-128 trunk at FULL resolution "
+                             "(--downshuffle 1) with this many blocks — "
+                             "6 is FLOP parity with the reference denoiser "
+                             "topology. When set, THIS arm carries the gate.")
     parser.add_argument("--smoke", action="store_true",
                         help="mechanics check on CPU: 1 epoch, tiny nets, "
                              "tiny dataset (the gate numbers are "
@@ -131,6 +143,16 @@ def run(argv=None):
             "ckpt": fast_ckpt.replace("_f_", "_x_"),
             "export": ["--family", "denoise_fast"],
         }
+    if opt.fullres_depth:
+        w_depth = 1 if opt.smoke else opt.fullres_depth
+        arms["W_fast_denoiser_fullres"] = {
+            "train": ["--family", "fast", "--downshuffle", "1",
+                      "--rs_deep", str(w_depth),
+                      *(["--width", "8"] if opt.smoke else []),
+                      "--save_name", "w", *common],
+            "ckpt": f"denoise_w_{w_depth}_0.2.ckpt",
+            "export": ["--family", "denoise_fast"],
+        }
     if opt.refine_blocks:
         arms["N_fast_denoiser_refine"] = {
             "train": ["--family", "fast",
@@ -180,6 +202,19 @@ def run(argv=None):
             "refine_int8_ptq_psnr_y_cost": round(
                 n["psnr_y"]
                 - results["N_fast_denoiser_refine_int8"]["psnr_y"], 3),
+        })
+    if opt.fullres_depth:
+        # The full-res W arm is the family's x1 FIDELITY answer (full
+        # 128-lane utilization at full resolution, FLOP parity with the
+        # reference topology): when trained, IT carries the gate.
+        wm = results["W_fast_denoiser_fullres"]
+        results["gate"].update({
+            "psnr_y_delta_fullres_minus_ref": round(
+                wm["psnr_y"] - r["psnr_y"], 3),
+            "passed": bool(wm["psnr_y"] >= r["psnr_y"]),
+            "fullres_int8_ptq_psnr_y_cost": round(
+                wm["psnr_y"]
+                - results["W_fast_denoiser_fullres_int8"]["psnr_y"], 3),
         })
     print(json.dumps(results, indent=2))
     (ws / "results.json").write_text(json.dumps(results, indent=2))
