@@ -76,6 +76,7 @@ def bench(
     int8: bool = False,
     refine_blocks: int = 0,
     refine_width: int = 64,
+    downshuffle: int | None = None,
 ) -> dict:
     import jax
     import jax.numpy as jnp
@@ -83,10 +84,12 @@ def bench(
     from image_super_resolution_tpu.models.deploy import DeployedModel, DeploySpec
 
     denoise = family.startswith("denoise")
+    if downshuffle is None:
+        downshuffle = 2 if family == "denoise_fast" else 1
     spec = DeploySpec(
         family=family, depth=depth, width=width,
         scale=1 if denoise else scale,
-        downshuffle=2 if family == "denoise_fast" else 1,
+        downshuffle=downshuffle,
         refine_blocks=refine_blocks, refine_width=refine_width,
     )
     scale = spec.output_scale
@@ -161,18 +164,33 @@ if __name__ == "__main__":
                              "quality-gated denoise_fast configuration "
                              "(PERF.md)")
     parser.add_argument("--refine_width", type=int, default=64)
+    parser.add_argument("--depth", type=int, default=None,
+                        help="override the family's preset trunk depth "
+                             "(e.g. the full-resolution denoise_fast W "
+                             "configuration: --depth 6 --downshuffle 1)")
+    parser.add_argument("--downshuffle", type=int, default=None,
+                        help="denoise_fast: trunk resolution factor "
+                             "(default 2; 1 = full-resolution trunk)")
     opt = parser.parse_args()
+
+    if opt.downshuffle is not None and opt.family != "denoise_fast":
+        parser.error("--downshuffle applies to --family denoise_fast only")
+    if opt.depth is not None and opt.family is None:
+        parser.error("--depth requires an explicit --family")
 
     from image_super_resolution_tpu.models.deploy import family_defaults
 
     if opt.family is not None:
         depth, width = family_defaults(opt.family)
+        if opt.depth is not None:
+            depth = opt.depth
         tile = opt.tile if opt.tile is not None else (
             96 if opt.family.startswith("denoise") else 24)
         result = bench(family=opt.family, depth=depth, width=width,
                        batch=opt.batch, tile=tile, int8=opt.int8,
                        refine_blocks=opt.refine_blocks,
-                       refine_width=opt.refine_width)
+                       refine_width=opt.refine_width,
+                       downshuffle=opt.downshuffle)
     else:
         # Headline = the TPU-first flagship (quality-gated vs the reference
         # topology in PERF.md); the reference-topology number follows on

@@ -325,7 +325,10 @@ def run_training(opt) -> None:
         if opt.resume and checkpoint_exists(ckpt_path):  # file, dir, or crash .old
             print(f"Train: load state dict from {ckpt_path}")
             ckpt = load_ckpt(ckpt_path)
-            state, start_epoch = resume_state(state, ckpt)
+            # "always": the reference GAN resume continues the epoch counter
+            # with no match/optimizer guard (train.py:337-346)
+            state, start_epoch = resume_state(state, ckpt,
+                                              epoch_policy="always")
             if "d_params" in ckpt:
                 from ..utils.general import intersect_trees
 
@@ -359,7 +362,15 @@ def run_training(opt) -> None:
             state = warm_start_generator(state, res_ckpt_path, load_fn=load_ckpt)
     elif opt.resume and checkpoint_exists(ckpt_path):
         print(f"load from {ckpt_path}")
-        state, start_epoch = resume_state(state, load_ckpt(ckpt_path))
+        # Per-phase reference parity: pixel continues the epoch counter past
+        # an optimizer-dropped final checkpoint when all params matched
+        # (reference train.py:282-285), denoise only when the optimizer was
+        # restored (train.py:217-219) — i.e. a finished denoise run resumed
+        # with a larger --epochs warm-restarts its schedule from epoch 0.
+        state, start_epoch = resume_state(
+            state, load_ckpt(ckpt_path),
+            epoch_policy="matched" if phase == "pixel" else "opt",
+        )
 
     # Reference dumps the first 10 batches of hr/lr images to TensorBoard as a
     # visual pipeline check when not resuming (train.py:250-256).

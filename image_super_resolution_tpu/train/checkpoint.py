@@ -147,9 +147,28 @@ def load_checkpoint(path: str | Path) -> Dict[str, Any]:
 
 
 def resume_state(
-    state: TrainState, ckpt: Dict[str, Any], verbose: bool = True
+    state: TrainState, ckpt: Dict[str, Any], verbose: bool = True,
+    epoch_policy: str = "opt",
 ) -> Tuple[TrainState, int]:
-    """Tolerant resume. Returns (state, start_epoch)."""
+    """Tolerant resume. Returns (state, start_epoch).
+
+    ``epoch_policy`` mirrors the reference's THREE per-phase rules for
+    continuing the epoch counter when resuming (the final-epoch checkpoint
+    drops optimizer state in both codebases):
+
+    - ``"opt"``    — continue only when the optimizer chain was restored
+      (denoise phase, /root/reference/train.py:217-219: ``start_epoch``
+      is set inside ``if ckpt['optimizer'] is not None``); a final
+      checkpoint restarts at epoch 0.
+    - ``"matched"`` — continue whenever every parameter matched, optimizer
+      restored or not (pixel phase, /root/reference/train.py:282-285:
+      ``start_epoch`` is set under the full-match check but OUTSIDE the
+      optimizer-presence check). Resuming a completed run with the same
+      ``--epochs`` is therefore a no-op, and a larger ``--epochs`` tops
+      the run up with a fresh optimizer.
+    - ``"always"`` — continue unconditionally (GAN phase,
+      /root/reference/train.py:337-346: no match guard at all).
+    """
     params, matched, total = intersect_trees(ckpt["params"], state.params)
     stats, _, _ = intersect_trees(ckpt.get("batch_stats", {}), state.batch_stats)
     as_dev = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
@@ -188,6 +207,11 @@ def resume_state(
                 opt_state=opt_state,
                 step=jnp.asarray(ckpt["meta"].get("step", 0), jnp.int32),
             )
+            start_epoch = int(ckpt["meta"]["epoch"]) + 1
+    if start_epoch == 0 and "epoch" in ckpt.get("meta", {}):
+        if epoch_policy == "always" or (
+            epoch_policy == "matched" and matched == total
+        ):
             start_epoch = int(ckpt["meta"]["epoch"]) + 1
     if verbose:
         print(f"Loaded pre-trained {matched}/{total} model")

@@ -81,12 +81,15 @@ def run(argv=None):
                              "tiny dataset (the gate numbers are "
                              "meaningless in this mode)")
     parser.add_argument("--resume", action="store_true",
-                        help="extend an existing workdir to a LARGER "
-                             "--epochs budget instead of starting over: "
-                             "keeps the dataset, resumes every arm's "
-                             "checkpoint (the CLI's --resume path), and "
-                             "re-runs export+eval. Equal budget still holds "
-                             "— every arm ends at the same total epochs.")
+                        help="extend an existing workdir with a FURTHER "
+                             "--epochs of training per arm. Denoise-phase "
+                             "resume is reference-parity (train.py:217-219): "
+                             "a finished run's final checkpoint has no "
+                             "optimizer state, so each arm WARM-RESTARTS "
+                             "its schedule from epoch 0 — totals are "
+                             "prior + --epochs, equal across arms. (The "
+                             "pixel-phase flagship experiment tops up "
+                             "instead; reference train.py:282-285.)")
     opt = parser.parse_args(argv)
 
     from image_super_resolution_tpu.cli.evaluate import main as ev

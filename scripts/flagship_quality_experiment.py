@@ -143,7 +143,10 @@ def run(argv=None):
                         help="extend an existing workdir to a LARGER "
                              "--epochs budget instead of starting over: "
                              "keeps the dataset, resumes every arm's "
-                             "checkpoint (the CLI's --resume path), and "
+                             "checkpoint (the CLI's --resume path — a true "
+                             "top-up for this pixel phase: only the missing "
+                             "epochs train, with a fresh optimizer/schedule "
+                             "past a finished run's final checkpoint), and "
                              "re-runs export+eval. Equal budget still holds "
                              "— every arm ends at the same total epochs.")
     opt = parser.parse_args(argv)

@@ -88,6 +88,31 @@ def test_cli_pixel_phase_then_export_then_rs(workspace):
     assert Image.open(out).size == (160, 160)  # 80x80 -> x2
 
 
+def test_cli_resume_budget_semantics(workspace, tmp_path, capsys):
+    """--resume budget semantics per phase (reference train.py:282-285 vs
+    217-219): resuming a COMPLETED pixel run with the same --epochs is a
+    no-op, a larger --epochs trains only the missing epochs (fresh
+    optimizer), and a completed denoise run warm-restarts from epoch 0."""
+    common = ["--scale", "2", "--save_name", "t",
+              "--train_json", str(workspace / "train_images.json"),
+              "--work_dir", str(tmp_path), "--batch_size", "2",
+              "--rs_deep", "1", "--shape", "48", "--worker", "2",
+              "--no_tensorboard"]
+    train_main(["--resnet", *common, "--epochs", "1"])
+    capsys.readouterr()
+    train_main(["--resnet", "--resume", *common, "--epochs", "1"])
+    assert "Epoch [" not in capsys.readouterr().out  # same budget: no-op
+    train_main(["--resnet", "--resume", *common, "--epochs", "2"])
+    out = capsys.readouterr().out
+    assert "Epoch [1]" in out and "Epoch [0]" not in out  # pure top-up
+
+    train_main(["--train_denoise", *common, "--epochs", "1"])
+    capsys.readouterr()
+    train_main(["--train_denoise", "--resume", *common, "--epochs", "1"])
+    # reference denoise parity: optimizer-dropped ckpt -> restart at 0
+    assert "Epoch [0]" in capsys.readouterr().out
+
+
 def test_cli_pixel_resume(workspace):
     ws = workspace
     train_main([

@@ -129,6 +129,34 @@ def test_final_epoch_drops_optimizer(tmp_path):
     assert "opt_state" not in load_checkpoint(path)
 
 
+def test_resume_epoch_policy_matches_reference_phases(tmp_path):
+    """The reference continues the epoch counter differently per phase when
+    resuming an optimizer-dropped (final-epoch) checkpoint: pixel continues
+    on a full param match (train.py:282-285), GAN continues unconditionally
+    (train.py:337-346), denoise restarts at 0 (train.py:217-219).
+    resume_state's epoch_policy pins all three rules."""
+    state = make_state()
+    path = tmp_path / "ck.ckpt"
+    save_checkpoint(path, state, epoch=7, mean=[0] * 3, std=[1] * 3,
+                    final=True)
+    ckpt = load_checkpoint(path)
+    assert "opt_state" not in ckpt
+
+    # denoise rule (the default): no optimizer -> epochs restart
+    assert resume_state(make_state(), ckpt, verbose=False)[1] == 0
+    # pixel rule: full match -> continue past the final checkpoint with a
+    # fresh optimizer (resume of a completed run = no-op / pure top-up)
+    assert resume_state(make_state(), ckpt, verbose=False,
+                        epoch_policy="matched")[1] == 8
+    # pixel rule under an architecture change: partial match -> restart
+    bigger = make_state(SRGenerator(depth=2, width=8, scale=2))
+    assert resume_state(bigger, ckpt, verbose=False,
+                        epoch_policy="matched")[1] == 0
+    # GAN rule: continue even on a partial match
+    assert resume_state(bigger, ckpt, verbose=False,
+                        epoch_policy="always")[1] == 8
+
+
 def test_gan_warm_start_from_pretrain(tmp_path):
     state = make_state()
     path = tmp_path / "res.ckpt"
