@@ -32,6 +32,12 @@ def build_parser() -> argparse.ArgumentParser:
                              "JPEG, data/degrade.py) applied with a fixed "
                              "seed — without this, an x1 artifact is fed "
                              "CLEAN input (identity-restoration measure)")
+    parser.add_argument("--severity", type=str, default="default",
+                        choices=["light", "default", "heavy"],
+                        help="denoise-eval degradation severity "
+                             "(data/degrade.DENOISE_SEVERITIES): 'default' "
+                             "is the training distribution; light/heavy "
+                             "bracket it for dose-response evaluation")
     parser.add_argument("--antialias", action="store_true")
     parser.add_argument("--json_out", type=str, default=None)
     parser.add_argument("--data_devices", type=int, default=1,
@@ -67,7 +73,15 @@ def main(argv=None) -> dict:
     from ..data.pipeline import LoaderConfig, PatchLoader
     from ..models.deploy import load_artifact
     from ..utils.general import ground_up
-    from ..utils.metrics import psnr, psnr_y, ssim
+    from ..utils.metrics import (
+        gradient_hist_distance,
+        hf_energy_ratio,
+        psnr,
+        psnr_y,
+        psnr_y_per_image,
+        sharpness,
+        ssim,
+    )
 
     deployed = load_artifact(opt.model)
     scale = deployed.spec.output_scale
@@ -82,14 +96,22 @@ def main(argv=None) -> dict:
                        workers=4, seed=0, drop_last=True)
     loader = PatchLoader(samples, cfg)
 
+    var_rng, iso_rng, q_rng = degrade.DENOISE_SEVERITIES[opt.severity]
+
     def make_lr01(hr01, rng):
         """The eval-time degradation: downscale for SR artifacts; the
-        training noise chain (fixed rng) for --denoise_eval; identity for
-        plain x1."""
+        training noise chain (fixed rng, --severity preset) for
+        --denoise_eval; identity for plain x1."""
         if scale > 1:
             return degrade.downscale(hr01, scale, opt.degrade, opt.antialias)
         if opt.denoise_eval:
-            return jnp.clip(degrade.denoise_degradation(rng, hr01), 0.0, 1.0)
+            return jnp.clip(
+                degrade.denoise_degradation(
+                    rng, hr01, quality_range=q_rng, var_range=var_rng,
+                    intensity=iso_rng,
+                ),
+                0.0, 1.0,
+            )
         return hr01
 
     def batch_rng(i):
@@ -123,12 +145,23 @@ def main(argv=None) -> dict:
         # The no-model baseline: bicubic upsample for SR; for the denoise
         # protocol it is the noisy input itself (how bad was the damage).
         base = "noisy" if opt.denoise_eval else "bicubic"
+        base01 = jnp.clip(cubic01, 0, 1)
         return {
             "psnr": psnr(sr01, hr01),
             "psnr_y": psnr_y(sr01, hr01),
             "ssim": ssim(sr01, hr01),
-            f"{base}_psnr": psnr(jnp.clip(cubic01, 0, 1), hr01),
-            f"{base}_psnr_y": psnr_y(jnp.clip(cubic01, 0, 1), hr01),
+            # Texture metrics (utils/metrics.py): hf_ratio -> 1 and a small
+            # grad_dist mean the output's high-frequency statistics match
+            # ground truth — the axis the GAN phase optimizes and PSNR hides.
+            "hf_ratio": hf_energy_ratio(sr01, hr01),
+            "grad_dist": gradient_hist_distance(sr01, hr01),
+            "sharpness": sharpness(sr01),
+            "sharpness_hr": sharpness(hr01),
+            f"{base}_psnr": psnr(base01, hr01),
+            f"{base}_psnr_y": psnr_y(base01, hr01),
+            f"{base}_hf_ratio": hf_energy_ratio(base01, hr01),
+            # per-image PSNR-Y (shape [N]) feeds the dispersion report
+            "psnr_y_per_image": psnr_y_per_image(sr01, hr01),
         }
 
     batch_shard = None
@@ -154,6 +187,7 @@ def main(argv=None) -> dict:
     import itertools
 
     totals: dict = {}
+    per_image: list = []
     n = 0
     for i, batch in enumerate(itertools.chain([first_batch], batch_iter)):
         if batch_shard is not None:
@@ -162,10 +196,19 @@ def main(argv=None) -> dict:
         else:
             arr = jnp.asarray(batch)
         metrics = eval_batch(arr, batch_rng(i))
+        per_image.append(_np.asarray(metrics.pop("psnr_y_per_image")))
         for k, v in metrics.items():
             totals[k] = totals.get(k, 0.0) + float(v)
         n += 1
     result = {k: round(v / max(n, 1), 4) for k, v in totals.items()}
+    # Dispersion over individual val crops (VERDICT r4 item 4): the scalar
+    # psnr_y is a batch-MSE average; these report the spread behind it.
+    pi = _np.concatenate(per_image)
+    result["psnr_y_min"] = round(float(pi.min()), 4)
+    result["psnr_y_max"] = round(float(pi.max()), 4)
+    result["psnr_y_std"] = round(float(pi.std()), 4)
+    result["psnr_y_median"] = round(float(_np.median(pi)), 4)
+    result["n_images"] = int(pi.size)
     result["n_batches"] = n
     result["hr_crop"] = shape
     result["scale"] = scale

@@ -51,13 +51,15 @@ def build_parser() -> argparse.ArgumentParser:
                              "--spatial_devices")
     parser.add_argument("--tp_devices", type=int, default=1,
                         help="tensor parallelism: channel-shard the fast "
-                             "family's trunk over N local devices (0 = all), "
-                             "one psum per residual block — the "
+                             "families' trunk over N local devices (0 = "
+                             "all), one psum per residual block — the "
                              "latency-bound serving axis for single images "
                              "when the batch is too small for "
-                             "--data_devices. fast family only; serve "
-                             "denoise_fast (downshuffle front) via "
-                             "--data_devices")
+                             "--data_devices. Covers fast AND denoise_fast "
+                             "(downshuffle front + refine tail included); "
+                             "the sr/denoise reference topologies serve via "
+                             "--data_devices/--spatial_devices "
+                             "(docs/PARALLELISM.md)")
     parser.add_argument("--int8", action="store_true",
                         help="serve the fast-family trunk in int8 (PTQ "
                              "with per-channel weights, self-calibrated on "

@@ -211,14 +211,31 @@ def jpeg_compress(
     return _ycbcr_to_rgb(ycc)
 
 
+# Named severity presets for the denoise chain: (gauss var range on the
+# 0-255 scale, ISO intensity range, JPEG quality range). "default" is the
+# reference's training distribution (utils/datasets.py:374-377 /
+# albumentations defaults); "light"/"heavy" bracket it so quality gates can
+# report a dose-response curve instead of one operating point (VERDICT r4
+# item 4).
+DENOISE_SEVERITIES: dict = {
+    "light": ((5.0, 15.0), (0.05, 0.2), (75.0, 90.0)),
+    "default": ((10.0, 50.0), (0.1, 0.5), (50.0, 75.0)),
+    "heavy": ((50.0, 100.0), (0.5, 1.0), (25.0, 50.0)),
+}
+
+
 def denoise_degradation(
     rng: jax.Array,
     x01: jnp.ndarray,
     quality_range: Tuple[float, float] = (50.0, 75.0),
+    var_range: Tuple[float, float] = (10.0, 50.0),
+    intensity: Tuple[float, float] = (0.1, 0.5),
 ) -> jnp.ndarray:
     """The reference denoiser's LR chain: GaussNoise -> ISONoise -> JPEG
-    (utils/datasets.py:374-377)."""
+    (utils/datasets.py:374-377). The range arguments default to the
+    reference/albumentations training distribution; pass a
+    ``DENOISE_SEVERITIES`` triple to evaluate off the training severity."""
     k1, k2, k3 = jax.random.split(rng, 3)
-    x = gaussian_noise(k1, x01)
-    x = iso_noise(k2, x)
+    x = gaussian_noise(k1, x01, var_range)
+    x = iso_noise(k2, x, intensity=intensity)
     return jpeg_compress(k3, x, quality_range)

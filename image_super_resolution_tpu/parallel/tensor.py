@@ -18,12 +18,20 @@ data axis):
   the whole network costs depth+1 psums of the LR-resolution feature map
   and never gathers the full trunk width.
 
+Every fast-family configuration is covered (VERDICT r4 item 5): the
+``denoise_fast`` x1 graph, the downshuffle sub-pixel front (replicated
+space_to_depth — the input is replicated anyway), and the full-res
+refinement tail (row-parallel projection psum, col/row refine blocks,
+replicated 3-channel tail conv) all shard with the same depth+1(+k) psum
+structure, equality-tested on an 8-device mesh.
+
 The dense-concat reference topology (family "sr") is deliberately NOT
 tensor-sharded: its 32-channel growth convs would need a collective per
 conv (5 per RDB, 240 per model) at <=25% lane utilization per shard — the
 measured MXU channel-tiling analysis in PERF.md makes that strictly worse
-than the data/spatial axes that family already has. TP targets the family
-whose 128-wide trunk divides evenly across a mesh axis.
+than the data/spatial axes that family already has. TP targets the families
+whose 128-wide trunk divides evenly across a mesh axis
+(docs/PARALLELISM.md scope table).
 """
 
 from __future__ import annotations
@@ -88,19 +96,34 @@ def _conv_same(x, k, b=None):
     return y if b is None else y + b
 
 
-def tp_fast_param_specs(depth: int, axis: str = TILE_AXIS) -> Dict[str, Any]:
+def tp_fast_param_specs(
+    depth: int, axis: str = TILE_AXIS, refine_blocks: int = 0
+) -> Dict[str, Any]:
     """PartitionSpec tree for FastSRGenerator params under TP.
 
     conv0 / trunk_conv are column-parallel (kernel sharded on C_out, bias
     sharded); conv1 / tail are row-parallel (kernel sharded on C_in, bias
     replicated and added once after the psum); the tiny head is replicated.
+
+    With a refinement tail (``refine_blocks`` > 0, models/fast.py): the
+    projection conv is row-parallel over the trunk width (one psum hands
+    every chip the full refine stream), the refine blocks shard col/row
+    exactly like trunk blocks, and the final 3-channel conv — now consuming
+    the narrow replicated refine stream — is replicated.
     """
     col = {"conv": {"kernel": P(None, None, None, axis), "bias": P(axis)}}
     row = {"conv": {"kernel": P(None, None, axis, None), "bias": P()}}
     repl = {"conv": {"kernel": P(), "bias": P()}}
-    specs: Dict[str, Any] = {"head": repl, "trunk_conv": col, "tail": row}
+    specs: Dict[str, Any] = {"head": repl, "trunk_conv": col}
     for i in range(depth):
         specs[f"block{i}"] = {"conv0": col, "conv1": row}
+    if refine_blocks:
+        specs["refine_proj"] = row
+        for i in range(refine_blocks):
+            specs[f"refine{i}"] = {"conv0": col, "conv1": row}
+        specs["tail"] = repl
+    else:
+        specs["tail"] = row
     return specs
 
 
@@ -119,30 +142,12 @@ class TPFastUpscaler:
     def __init__(self, deployed, mesh: Mesh, axis: str = TILE_AXIS,
                  dtype=None):
         spec = deployed.spec
-        if spec.family != "fast":
+        if spec.family not in ("fast", "denoise_fast"):
             raise ValueError(
-                "tensor parallelism is implemented for the fast family "
+                "tensor parallelism is implemented for the fast families "
                 "(width-128 MXU-aligned trunk); the dense-concat reference "
                 f"topology is served via data/spatial axes (got family="
                 f"{spec.family!r})"
-            )
-        if (getattr(spec, "downshuffle", 1) or 1) > 1:
-            # this wrapper re-implements the fast forward; it has no
-            # sub-pixel front, so a downshuffle spec would feed the head
-            # conv 3 channels where it expects 3*f^2
-            raise ValueError(
-                "tensor parallelism does not implement the downshuffle "
-                "sub-pixel front; serve downshuffle artifacts via "
-                "data_devices"
-            )
-        if getattr(spec, "refine_blocks", 0):
-            # likewise no full-res refinement tail here: the param tree
-            # would not match tp_fast_param_specs and the forward would
-            # silently skip the refinement stage
-            raise ValueError(
-                "tensor parallelism does not implement the full-res "
-                "refinement tail (refine_blocks > 0); serve refine "
-                "artifacts via data_devices"
             )
         n = int(mesh.shape[axis])
         if spec.width % n:
@@ -150,11 +155,18 @@ class TPFastUpscaler:
                 f"trunk width {spec.width} must divide over {n} '{axis}' "
                 f"devices"
             )
+        refine_blocks = getattr(spec, "refine_blocks", 0) or 0
+        refine_width = getattr(spec, "refine_width", 32) or 32
+        if refine_blocks and refine_width % n:
+            raise ValueError(
+                f"refine width {refine_width} must divide over {n} "
+                f"'{axis}' devices"
+            )
         self.spec = spec
         self.mesh = mesh
         self.axis = axis
         self._dtype = dtype if dtype is not None else jnp.bfloat16
-        specs = tp_fast_param_specs(spec.depth, axis)
+        specs = tp_fast_param_specs(spec.depth, axis, refine_blocks)
         self.params = jax.device_put(
             deployed.params,
             jax.tree_util.tree_map(
@@ -166,43 +178,82 @@ class TPFastUpscaler:
 
         mean = tuple(float(v) for v in spec.mean)
         std = tuple(float(v) for v in spec.std)
-        depth, width, scale, add_rate = (
-            spec.depth, spec.width, spec.scale, spec.add_rate,
-        )
+        depth, width, add_rate = spec.depth, spec.width, spec.add_rate
+        # denoise_fast is the same graph at x1 output (DeploySpec.output_scale)
+        scale = spec.output_scale
+        dshuf = getattr(spec, "downshuffle", 1) or 1
         c_local = width // n
         dtype_ = self._dtype
 
         def local_forward(p, u8):
             from ..data.transforms import normalize, tanh_to_uint8
-            from ..ops.pixel_shuffle import pixel_shuffle
+            from ..ops.pixel_shuffle import pixel_shuffle, pixel_unshuffle
 
             cast = lambda t: jax.tree_util.tree_map(
                 lambda a: a.astype(dtype_), t
             )
+
+            def res_block(h, blk):
+                """col conv0 -> act -> row conv1 -> psum: replicated in,
+                replicated out. Shared by trunk and refine blocks."""
+                c0 = cast(blk["conv0"]["conv"])
+                c1 = cast(blk["conv1"]["conv"])
+                t = jax.nn.leaky_relu(_conv_same(h, c0["kernel"], c0["bias"]),
+                                      negative_slope=0.01)
+                t = _conv_same(t, c1["kernel"])  # partial over C_in shard
+                t = jax.lax.psum(t, axis) + c1["bias"]
+                return h + t * jnp.asarray(add_rate, t.dtype)
+
             x = normalize(u8, mean, std).astype(dtype_)
+            # Sub-pixel front (models/fast.py): edge-pad to multiples of the
+            # downshuffle factor, space_to_depth — replicated (the input spec
+            # is P(), so every chip computes the identical reshape).
+            h_in, w_in = x.shape[1], x.shape[2]
+            pad_h = -h_in % dshuf
+            pad_w = -w_in % dshuf
+            if dshuf > 1:
+                if pad_h or pad_w:
+                    x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)),
+                                mode="edge")
+                x = pixel_unshuffle(x, dshuf)
             hc = cast(p["head"]["conv"])
             x = jax.nn.leaky_relu(_conv_same(x, hc["kernel"], hc["bias"]),
                                   negative_slope=0.01)
             h = x
             for i in range(depth):
-                c0 = cast(p[f"block{i}"]["conv0"]["conv"])
-                c1 = cast(p[f"block{i}"]["conv1"]["conv"])
-                t = jax.nn.leaky_relu(_conv_same(h, c0["kernel"], c0["bias"]),
-                                      negative_slope=0.01)
-                t = _conv_same(t, c1["kernel"])  # partial over C_in shard
-                t = jax.lax.psum(t, axis) + c1["bias"]
-                h = h + t * jnp.asarray(add_rate, t.dtype)
+                h = res_block(h, p[f"block{i}"])
             tc = cast(p["trunk_conv"]["conv"])
             hs = _conv_same(h, tc["kernel"], tc["bias"])  # C_out-sharded
             idx = jax.lax.axis_index(axis)
             x_shard = jax.lax.dynamic_slice_in_dim(x, idx * c_local, c_local,
                                                    axis=3)
             hs = hs + x_shard  # global residual, sharded slice-wise
-            tl = cast(p["tail"]["conv"])
-            y = _conv_same(hs, tl["kernel"])  # partial over trunk shard
-            y = jnp.tanh(jax.lax.psum(y, axis) + tl["bias"])
-            if scale > 1:
-                y = pixel_shuffle(y, scale)
+            r = scale * dshuf
+            if refine_blocks:
+                # Full-res refinement tail: row-parallel projection (one
+                # psum hands every chip the full refine stream), shuffle to
+                # output resolution, col/row refine blocks, then the narrow
+                # 3-channel conv replicated.
+                pj = cast(p["refine_proj"]["conv"])
+                y = _conv_same(hs, pj["kernel"])  # partial over trunk shard
+                y = jax.nn.leaky_relu(jax.lax.psum(y, axis) + pj["bias"],
+                                      negative_slope=0.01)
+                if r > 1:
+                    y = pixel_shuffle(y, r)
+                for i in range(refine_blocks):
+                    y = res_block(y, p[f"refine{i}"])
+                tl = cast(p["tail"]["conv"])
+                y = jnp.tanh(_conv_same(y, tl["kernel"], tl["bias"]))
+            else:
+                # Born-folded tail: row-parallel straight to 3*r^2 channels,
+                # tanh, one shuffle.
+                tl = cast(p["tail"]["conv"])
+                y = _conv_same(hs, tl["kernel"])  # partial over trunk shard
+                y = jnp.tanh(jax.lax.psum(y, axis) + tl["bias"])
+                if r > 1:
+                    y = pixel_shuffle(y, r)
+            if pad_h or pad_w:  # undo the front padding at output scale
+                y = y[:, : h_in * scale, : w_in * scale, :]
             return tanh_to_uint8(y.astype(jnp.float32))
 
         sharded = shard_map(

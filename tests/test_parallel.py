@@ -60,24 +60,72 @@ def test_tp_rejects_sr_family_and_bad_width():
     m = spec.build_model(dtype=jnp.float32)
     v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))
     dep = DeployedModel(spec, v["params"], dtype=jnp.float32)
-    with pytest.raises(ValueError, match="fast family"):
+    with pytest.raises(ValueError, match="fast families"):
         TPFastUpscaler(dep, make_mesh(n_data=1, n_tile=2))
 
     with pytest.raises(ValueError, match="divide"):
         TPFastUpscaler(_deployed(width=12), make_mesh(n_data=1, n_tile=8))
 
 
-def test_tp_rejects_refine_artifacts():
-    """A refine-tail fast artifact must get a clean rejection, not a pytree
-    structure mismatch from tp_fast_param_specs (the wrapper's forward has
-    no refinement stage)."""
-    spec = DeploySpec(family="fast", depth=1, width=8, scale=2,
-                      refine_blocks=2, refine_width=8)
-    m = spec.build_model(dtype=jnp.float32)
-    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))
-    dep = DeployedModel(spec, v["params"], dtype=jnp.float32)
-    with pytest.raises(ValueError, match="refine"):
-        TPFastUpscaler(dep, make_mesh(n_data=1, n_tile=2))
+def _deployed_spec(spec, init_hw=8, dtype=jnp.float32):
+    m = spec.build_model(dtype=dtype)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, init_hw, init_hw, 3)))
+    return DeployedModel(spec, v["params"], dtype=dtype)
+
+
+def test_tp_refine_tail_matches_single_device():
+    """The full-res refinement tail (models/fast.py refine_blocks — the
+    quality-gated x1 throughput config) shards: row-parallel projection,
+    col/row refine blocks, replicated 3-channel tail."""
+    dep = _deployed_spec(DeploySpec(family="fast", depth=2, width=16, scale=2,
+                                    refine_blocks=2, refine_width=8))
+    tp = TPFastUpscaler(dep, make_mesh(n_data=1, n_tile=4),
+                        dtype=jnp.float32)
+    u8 = jnp.asarray(np.random.default_rng(3).integers(
+        0, 255, (2, 12, 12, 3), dtype=np.uint8))
+    a = np.asarray(dep(u8))
+    b = np.asarray(tp(u8))
+    assert a.shape == b.shape
+    assert np.max(np.abs(a.astype(int) - b.astype(int))) <= 1
+
+
+def test_tp_denoise_fast_downshuffle_matches_single_device():
+    """The denoise_fast x1 graph with the sub-pixel front (downshuffle 2)
+    TP-serves, including the edge-pad path (input not a multiple of f)."""
+    dep = _deployed_spec(DeploySpec(family="denoise_fast", depth=2, width=16,
+                                    scale=1, downshuffle=2))
+    tp = TPFastUpscaler(dep, make_mesh(n_data=1, n_tile=4),
+                        dtype=jnp.float32)
+    u8 = jnp.asarray(np.random.default_rng(4).integers(
+        0, 255, (2, 13, 11, 3), dtype=np.uint8))  # odd: exercises edge-pad
+    a = np.asarray(dep(u8))
+    b = np.asarray(tp(u8))
+    assert a.shape == b.shape == (2, 13, 11, 3)
+    assert np.max(np.abs(a.astype(int) - b.astype(int))) <= 1
+
+
+def test_tp_denoise_fast_refine_matches_single_device():
+    """The quality-gated x1 config (downshuffle 2 + refine tail) — the
+    exact preset PERF.md steers throughput users toward — TP-serves."""
+    dep = _deployed_spec(DeploySpec(family="denoise_fast", depth=2, width=16,
+                                    scale=1, downshuffle=2,
+                                    refine_blocks=2, refine_width=8))
+    tp = TPFastUpscaler(dep, make_mesh(n_data=1, n_tile=2),
+                        dtype=jnp.float32)
+    u8 = jnp.asarray(np.random.default_rng(5).integers(
+        0, 255, (1, 16, 16, 3), dtype=np.uint8))
+    a = np.asarray(dep(u8))
+    b = np.asarray(tp(u8))
+    assert a.shape == b.shape
+    assert np.max(np.abs(a.astype(int) - b.astype(int))) <= 1
+
+
+def test_tp_rejects_indivisible_refine_width():
+    spec = DeploySpec(family="fast", depth=1, width=16, scale=2,
+                      refine_blocks=1, refine_width=6)
+    dep = _deployed_spec(spec)
+    with pytest.raises(ValueError, match="refine width"):
+        TPFastUpscaler(dep, make_mesh(n_data=1, n_tile=4))
 
 
 def test_tp_param_specs_cover_param_tree():
