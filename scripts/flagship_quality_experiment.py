@@ -139,6 +139,17 @@ def run(argv=None):
                              "checkpoint (tag *_gan); the pixel-phase gate "
                              "numbers are always recorded")
     parser.add_argument("--scale", type=int, default=4)
+    parser.add_argument("--n_train", type=int, default=240,
+                        help="synthetic training-corpus size (240 = the "
+                             "standard gate; 2400+ = the int8-at-scale "
+                             "protocol, VERDICT r4 item 6 — PTQ cost "
+                             "measured on a checkpoint trained beyond the "
+                             "tiny-data regime). steps/epoch scales with it")
+    parser.add_argument("--arms", type=str, default="R,F",
+                        help="comma-set of arms to run (R = reference "
+                             "topology, F = fast flagship). '--arms F' "
+                             "trains only the flagship (e.g. for the "
+                             "int8-at-scale run); the gate dict needs both")
     parser.add_argument("--resume", action="store_true",
                         help="extend an existing workdir to a LARGER "
                              "--epochs budget instead of starting over: "
@@ -163,7 +174,10 @@ def run(argv=None):
         if ws.exists():
             shutil.rmtree(ws)
         ws.mkdir(parents=True)
-        (make_photo_dataset if opt.dataset == "photo" else make_dataset)(ws)
+        if opt.dataset == "photo":
+            make_photo_dataset(ws)
+        else:
+            make_dataset(ws, n_train=opt.n_train)
     common = ["--resnet", "--scale", str(opt.scale), "--shape", "96",
               "--batch_size", "16", "--epochs", str(opt.epochs),
               "--ckpt_every", "25", "--seed", "100",
@@ -186,6 +200,11 @@ def run(argv=None):
             "export": ["--family", "fast"],
         },
     }
+
+    want = {a.strip().upper() for a in opt.arms.split(",") if a.strip()}
+    arms = {tag: arm for tag, arm in arms.items() if tag[0] in want}
+    if not arms:
+        raise SystemExit(f"--arms {opt.arms!r} selects no arm (use R,F)")
 
     results = {}
     for tag, arm in arms.items():
@@ -216,15 +235,17 @@ def run(argv=None):
             tr(["--work_dir", str(wd), *gan_flags])
             export_and_eval(arm["gan_ckpt"], tag + "_gan")
 
-    r = results["R_reference_topology"]
-    f = results["F_fast_flagship"]
-    results["gate"] = {
-        "psnr_y_delta_fast_minus_ref": round(f["psnr_y"] - r["psnr_y"], 3),
-        "passed": bool(f["psnr_y"] >= r["psnr_y"]),
-        "int8_ptq_psnr_y_cost": round(
-            f["psnr_y"] - results["F_fast_flagship_int8"]["psnr_y"], 3
-        ),
-    }
+    if "F_fast_flagship" in results:
+        f = results["F_fast_flagship"]
+        results["int8_ptq_psnr_y_cost"] = round(
+            f["psnr_y"] - results["F_fast_flagship_int8"]["psnr_y"], 3)
+    if "R_reference_topology" in results and "F_fast_flagship" in results:
+        r = results["R_reference_topology"]
+        results["gate"] = {
+            "psnr_y_delta_fast_minus_ref": round(f["psnr_y"] - r["psnr_y"], 3),
+            "passed": bool(f["psnr_y"] >= r["psnr_y"]),
+            "int8_ptq_psnr_y_cost": results["int8_ptq_psnr_y_cost"],
+        }
     print(json.dumps(results, indent=2))
     (ws / "results.json").write_text(json.dumps(results, indent=2))
     return results
