@@ -171,7 +171,21 @@ if __name__ == "__main__":
     parser.add_argument("--downshuffle", type=int, default=None,
                         help="denoise_fast: trunk resolution factor "
                              "(default 2; 1 = full-resolution trunk)")
+    parser.add_argument("--preset", type=str, default=None,
+                        choices=["denoise_fullres"],
+                        help="named configuration shortcut: denoise_fullres "
+                             "= the x1 fidelity preset (denoise_fast, "
+                             "depth 6, full-resolution trunk — PERF.md "
+                             "round-5 gate). Explicit flags override")
     opt = parser.parse_args()
+
+    if opt.preset == "denoise_fullres":
+        if opt.family is None:
+            opt.family = "denoise_fast"
+        if opt.depth is None:
+            opt.depth = 6
+        if opt.downshuffle is None:
+            opt.downshuffle = 1
 
     if opt.downshuffle is not None and opt.family != "denoise_fast":
         parser.error("--downshuffle applies to --family denoise_fast only")

@@ -83,6 +83,16 @@ def build_parser() -> argparse.ArgumentParser:
                              "PERF.md). 0 = the born-folded tail")
     parser.add_argument("--refine_width", type=int, default=32,
                         help="channel width of the refinement blocks")
+    parser.add_argument("--preset", type=str, default=None,
+                        choices=["denoise_fullres"],
+                        help="named configuration shortcut. denoise_fullres "
+                             "= the measured x1 FIDELITY preset (PERF.md "
+                             "round-5 gate: +1.9 dB PSNR-Y over the "
+                             "reference denoiser topology at equal budget): "
+                             "--train_denoise --family fast --downshuffle 1 "
+                             "--rs_deep 6 — the width-128 trunk at FULL "
+                             "resolution, FLOP parity with the reference "
+                             "topology. Explicit flags override the preset")
     parser.add_argument("--train_json", type=str, default="./train_images.json")
     parser.add_argument("--vgg_weights", type=str, default=None,
                         help="VGG19 ImageNet weights for the perceptual loss: "
@@ -150,6 +160,15 @@ def run_training(opt) -> None:
 
     from ..models.deploy import family_defaults
 
+    if opt.preset == "denoise_fullres":
+        # The x1 fidelity preset (PERF.md round-5 W gate). Explicit flags
+        # win: only fill the fields the user left at their defaults.
+        opt.train_denoise = True
+        opt.family = "fast"
+        if opt.downshuffle is None:
+            opt.downshuffle = 1
+        if opt.rs_deep is None:
+            opt.rs_deep = 6
     opt.rs_deep, opt.width = family_defaults(opt.family, opt.rs_deep, opt.width)
     if opt.family == "fast" and opt.enchant:
         raise SystemExit(

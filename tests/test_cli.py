@@ -655,3 +655,30 @@ def test_rs_cli_profile_dir_captures_trace(tmp_path):
                    "--profile_dir", str(prof)])
     assert Path(out).exists()
     assert any(prof.rglob("*"))  # a trace was written
+
+
+def test_cli_denoise_fullres_preset(workspace):
+    """--preset denoise_fullres = the x1 fidelity preset (PERF.md round-5 W
+    gate): --train_denoise --family fast --downshuffle 1, depth 6 unless
+    overridden. Here depth/width are overridden small; the artifact must
+    come out downshuffle=1 (full-resolution trunk), x1."""
+    ws = workspace
+    train_main([
+        "--preset", "denoise_fullres", "--width", "8",
+        "--save_name", "wf",
+        "--train_json", str(ws / "train_images.json"),
+        "--work_dir", str(ws), *COMMON,
+    ])
+    ckpt = ws / "denoise_wf_1_0.2.ckpt"  # COMMON's --rs_deep 1 overrides 6
+    assert ckpt.exists()
+    _assert_really_trained(ckpt)
+    artifact = ws / "denoise_fullres.isr"
+    export_main([
+        "--checkpoint", str(ckpt), "--out", str(artifact),
+        "--family", "denoise_fast",
+    ])
+    from image_super_resolution_tpu.models.deploy import load_artifact
+
+    spec = load_artifact(artifact).spec
+    assert (spec.depth, spec.width, spec.downshuffle) == (1, 8, 1)
+    assert spec.output_scale == 1
