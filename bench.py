@@ -149,6 +149,10 @@ if __name__ == "__main__":
                              "topology as a diagnostic second line on stderr; "
                              "denoise families measure x1 restoration "
                              "throughput")
+    parser.add_argument("--scale", type=int, default=4,
+                        help="SR output scale (2 or 4; x4 is the headline "
+                             "and the only scale BASELINE.json's north star "
+                             "is defined for)")
     parser.add_argument("--batch", type=int, default=256)
     parser.add_argument("--tile", type=int, default=None,
                         help="input tile size (default 24 for the SR "
@@ -201,6 +205,7 @@ if __name__ == "__main__":
         tile = opt.tile if opt.tile is not None else (
             96 if opt.family.startswith("denoise") else 24)
         result = bench(family=opt.family, depth=depth, width=width,
+                       scale=opt.scale,
                        batch=opt.batch, tile=tile, int8=opt.int8,
                        refine_blocks=opt.refine_blocks,
                        refine_width=opt.refine_width,
@@ -213,12 +218,13 @@ if __name__ == "__main__":
         tile = opt.tile if opt.tile is not None else 24
         depth, width = family_defaults("fast")
         result = bench(family="fast", depth=depth, width=width,
+                       scale=opt.scale,
                        batch=opt.batch, tile=tile, int8=opt.int8,
                        refine_blocks=opt.refine_blocks,
                        refine_width=opt.refine_width)
         depth, width = family_defaults("sr")
         ref = bench(family="sr", depth=depth, width=width,
-                    batch=opt.batch, tile=tile)
+                    scale=opt.scale, batch=opt.batch, tile=tile)
         print(f"reference-topology diagnostic: {json.dumps(ref)}",
               file=sys.stderr)
     print(json.dumps(result))
