@@ -139,6 +139,14 @@ def run(argv=None):
                              "checkpoint (tag *_gan); the pixel-phase gate "
                              "numbers are always recorded")
     parser.add_argument("--scale", type=int, default=4)
+    parser.add_argument("--fast_depth", type=int, default=14,
+                        help="fast-arm trunk depth (14 = the x4 flagship "
+                             "preset). The x2 gate probe: at x2 the d14 "
+                             "preset measured -0.66 dB vs the reference "
+                             "topology (PERF.md round 5), so deeper x2 "
+                             "arms (e.g. 28 - still ~3x fewer FLOPs/output"
+                             "-px than the reference at x2) map the "
+                             "capacity/quality curve")
     parser.add_argument("--n_train", type=int, default=240,
                         help="synthetic training-corpus size (240 = the "
                              "standard gate; 2400+ = the int8-at-scale "
@@ -194,9 +202,10 @@ def run(argv=None):
             "export": ["--family", "sr"],
         },
         "F_fast_flagship": {
-            "train": ["--family", "fast", "--save_name", "f", *common],
-            "ckpt": "res_f_14_0.2.ckpt",
-            "gan_ckpt": "gen_f_14_0.2.ckpt",
+            "train": ["--family", "fast", "--rs_deep", str(opt.fast_depth),
+                      "--save_name", "f", *common],
+            "ckpt": f"res_f_{opt.fast_depth}_0.2.ckpt",
+            "gan_ckpt": f"gen_f_{opt.fast_depth}_0.2.ckpt",
             "export": ["--family", "fast"],
         },
     }

@@ -222,3 +222,49 @@ def test_denoise_severity_presets_order(tmp_path):
             0, 1)
         scores[name] = float(psnr_y(noisy, hr))
     assert scores["light"] > scores["default"] > scores["heavy"]
+
+
+def test_severity_sweep_script(tmp_path):
+    """scripts/denoise_severity_sweep.py: evals every artifact in a finished
+    denoise workdir at the requested severities (dose-response evidence for
+    the x1 gates, VERDICT r4 item 4)."""
+    import importlib.util
+    from pathlib import Path as _P
+
+    from PIL import Image
+
+    from image_super_resolution_tpu.models.deploy import DeploySpec, save_artifact
+
+    spec_mod = importlib.util.spec_from_file_location(
+        "denoise_severity_sweep",
+        _P(__file__).resolve().parent.parent / "scripts" /
+        "denoise_severity_sweep.py")
+    sweep = importlib.util.module_from_spec(spec_mod)
+    spec_mod.loader.exec_module(sweep)
+
+    ws = tmp_path / "dq"
+    (ws / "imgs").mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(2):
+        base = rng.uniform(0, 255, (12, 12, 3))
+        arr = np.kron(base, np.ones((8, 8, 1))).astype(np.uint8)
+        p = ws / "imgs" / f"v{i}.png"
+        Image.fromarray(arr).save(p)
+        paths.append(p.as_posix())
+    (ws / "val_images.json").write_text(json.dumps(paths))
+
+    spec = DeploySpec(family="denoise_fast", depth=1, width=8, scale=1,
+                      downshuffle=2)
+    model = spec.build_model(dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))["params"]
+    save_artifact(ws / "W_tiny.isr", spec, params)
+
+    results = sweep.run(["--workdir", str(ws), "--severities", "light,heavy"])
+    assert set(results) == {"W_tiny@light", "W_tiny@heavy"}
+    for v in results.values():
+        assert np.isfinite(v["psnr_y"]) and np.isfinite(v["noisy_psnr_y"])
+    # dose-response: the heavy preset damages the input more
+    assert results["W_tiny@heavy"]["noisy_psnr_y"] < \
+        results["W_tiny@light"]["noisy_psnr_y"]
+    assert (ws / "severity_sweep.json").exists()
