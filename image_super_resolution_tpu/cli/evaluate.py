@@ -49,6 +49,12 @@ def build_parser() -> argparse.ArgumentParser:
                              "--int8), calibrated on the first eval batch — "
                              "run with and without to quantify the PTQ "
                              "quality cost on a real checkpoint")
+    parser.add_argument("--int8_percentile", type=float, default=None,
+                        help="with --int8: calibrate activation scales to "
+                             "this percentile of |x| instead of amax (e.g. "
+                             "99.9) — clips outlier activations so the int8 "
+                             "step stays fine for the bulk; the measured "
+                             "lever for high-fidelity checkpoints (PERF.md)")
     parser.add_argument("--compile_cache", type=str, default=None,
                         help="persistent XLA compilation cache directory "
                              "(default ~/.cache/image_super_resolution_tpu/"
@@ -131,7 +137,8 @@ def main(argv=None) -> dict:
         lr_u8 = jnp.clip(jnp.round(lr01 * 255.0), 0, 255).astype(jnp.uint8)
         try:  # quantize_deployed owns the family whitelist; surface its
             # ValueError as the CLI's clean one-line exit (same as rs.py)
-            deployed = quantize_deployed(deployed, [lr_u8])
+            deployed = quantize_deployed(deployed, [lr_u8],
+                                         percentile=opt.int8_percentile)
         except ValueError as e:
             raise SystemExit(str(e)) from None
 

@@ -68,6 +68,12 @@ def build_parser() -> argparse.ArgumentParser:
                              "families only (fast / denoise_fast); the "
                              "reference topologies' int8 was measured dead "
                              "(PERF.md)")
+    parser.add_argument("--int8_percentile", type=float, default=None,
+                        help="with --int8: calibrate activation scales to "
+                             "this percentile of |x| instead of amax (e.g. "
+                             "99.995) — clips outlier activations; measured "
+                             "to recover ~0.75 dB of the amax PTQ cost on "
+                             "high-fidelity x1 checkpoints (PERF.md)")
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="capture a jax.profiler device trace of the "
                              "whole inference run into this directory "
@@ -107,6 +113,7 @@ def run(
     spatial_grid=None,
     tp_devices: int = 1,
     int8: bool = False,
+    int8_percentile: float | None = None,
     profile_dir: str | None = None,
     codec: str | None = None,
     compile_cache: str | None = None,
@@ -176,7 +183,8 @@ def run(
             # of truth); surface its ValueError as the same clean one-line
             # exit the other flag-validation errors use
             deployed = quantize_deployed(
-                deployed, _int8_calib_batches(Path(src), window_size)
+                deployed, _int8_calib_batches(Path(src), window_size),
+                percentile=int8_percentile,
             )
         except ValueError as e:
             raise SystemExit(str(e)) from None

@@ -172,12 +172,21 @@ def calibrate_scales(
     scale: int,
     downshuffle: int = 1,
     refine_blocks: int = 0,
+    percentile: Optional[float] = None,
 ) -> Dict[str, float]:
     """Static per-tensor activation scales: running max|x| over the
     calibration batches at every quantized conv input, / 127.
 
     ``batches``: iterable of NORMALIZED float inputs (what the model sees
-    after data.transforms.normalize)."""
+    after data.transforms.normalize).
+
+    ``percentile`` (e.g. 99.9) clips the calibration statistic to that
+    percentile of |x| instead of the max — rare outlier activations stop
+    stretching the int8 step size for the bulk of the distribution, at
+    the cost of saturating the outliers. amax (None) is the conservative
+    default; the percentile option is the measured lever for
+    high-fidelity checkpoints where amax PTQ cost grows (PERF.md round-5
+    int8-at-high-fidelity section)."""
     maxes: Dict[str, jnp.ndarray] = {}
 
     @jax.jit
@@ -185,7 +194,11 @@ def calibrate_scales(
         seen: Dict[str, jnp.ndarray] = {}
 
         def record(site, t):
-            seen[site] = jnp.max(jnp.abs(t.astype(jnp.float32)))
+            a = jnp.abs(t.astype(jnp.float32))
+            seen[site] = (
+                jnp.max(a) if percentile is None
+                else jnp.percentile(a.ravel(), percentile)
+            )
 
         fast_forward(params, x, depth, add_rate, scale, record=record,
                      downshuffle=downshuffle, refine_blocks=refine_blocks)
@@ -296,10 +309,12 @@ class Int8DeployedFast:
         return self._apply
 
 
-def quantize_deployed(deployed, calib_u8_batches) -> Int8DeployedFast:
+def quantize_deployed(deployed, calib_u8_batches,
+                      percentile: Optional[float] = None) -> Int8DeployedFast:
     """PTQ a fast-family DeployedModel using uint8 calibration batches
     (e.g. the first tile batch of the image being served — self-calibration
-    costs one extra bf16 pass and needs no dataset at serving time)."""
+    costs one extra bf16 pass and needs no dataset at serving time).
+    ``percentile``: see :func:`calibrate_scales`."""
     spec = deployed.spec
     if spec.family not in ("fast", "denoise_fast"):
         raise ValueError(
@@ -320,7 +335,8 @@ def quantize_deployed(deployed, calib_u8_batches) -> Int8DeployedFast:
                               spec.output_scale,
                               downshuffle=getattr(spec, "downshuffle", 1) or 1,
                               refine_blocks=getattr(spec, "refine_blocks", 0)
-                              or 0)
+                              or 0,
+                              percentile=percentile)
     # Quantization is host-side numpy work: fetch the whole tree in ONE
     # device_get (a per-site np.asarray inside quantize_fast_params would
     # pay 2*depth+1 relay round trips), then commit the finished int8 tree

@@ -401,3 +401,38 @@ def test_quantize_deployed_rejects_non_fast():
     deployed = DeployedModel(spec, variables["params"], optimize=False)
     with pytest.raises(ValueError, match="fast famil"):
         quantize_deployed(deployed, [jnp.zeros((1, 8, 8, 3), jnp.uint8)])
+
+
+def test_quantize_deployed_percentile_calibration():
+    """percentile calibration (the high-fidelity PTQ lever, PERF.md r5):
+    still tracks bf16 within the standard tolerance, and produces SMALLER
+    activation scales than amax (outliers clipped)."""
+    from image_super_resolution_tpu.models.quantized import calibrate_scales
+    from image_super_resolution_tpu.data.transforms import normalize
+
+    spec = DeploySpec(family="fast", depth=DEPTH, width=WIDTH, scale=SCALE,
+                      add_rate=ADD)
+    m = spec.build_model()
+    variables = m.init(jax.random.PRNGKey(1), jnp.zeros((1, 8, 8, 3)))
+    deployed = DeployedModel(spec, variables["params"])
+    rng = np.random.default_rng(7)
+    tiles = jnp.asarray(rng.integers(0, 256, (2, 16, 16, 3), np.uint8))
+
+    q = quantize_deployed(deployed, [tiles], percentile=99.9)
+    got = np.asarray(q(tiles)).astype(np.int32)
+    want = np.asarray(deployed(tiles)).astype(np.int32)
+    diff = np.abs(got - want)
+    assert float(diff.mean()) < 1.0
+    assert int(diff.max()) <= 8
+
+    params32 = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a, jnp.float32), deployed.params)
+    mean = tuple(float(v) for v in spec.mean)
+    std = tuple(float(v) for v in spec.std)
+    batch = [normalize(tiles, mean, std)]
+    amax = calibrate_scales(params32, batch, DEPTH, ADD, SCALE)
+    pct = calibrate_scales(params32, batch, DEPTH, ADD, SCALE,
+                           percentile=99.0)
+    assert set(amax) == set(pct)
+    assert all(pct[s] <= amax[s] + 1e-12 for s in amax)
+    assert any(pct[s] < amax[s] for s in amax)  # clipping engaged somewhere
